@@ -1,0 +1,216 @@
+"""Experiment configuration (SURVEY.md C23, §5.6).
+
+Reference lineage uses tyro-annotated nested dataclasses; here a plain
+dataclass tree with dotted-path CLI overrides (no external deps).  The five
+BASELINE.json config-ladder presets ship as `PRESETS`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class RasterizeConfig:
+    tile_h: int = 16
+    tile_w: int = 128
+    # Per-tile Gaussian list capacity (fixed shape; overflow is truncated
+    # in far-depth order and reported via aux counters).
+    tile_capacity: int = 1024
+    # Max tiles a single Gaussian may be binned into (cap on bbox area).
+    max_tiles_per_gaussian: int = 32
+    # Gaussians processed per inner chunk in the Pallas kernel.
+    chunk: int = 128
+    near_plane: float = 0.05  # SURVEY.md hyperparameter defaults
+    alpha_clip: float = 0.99
+    alpha_threshold: float = 1.0 / 255.0
+    transmittance_eps: float = 1e-4
+    backend: str = "auto"  # "pallas" | "oracle" | "auto"
+
+
+@dataclass
+class CRFConfig:
+    kind: str = "mlp"  # "identity" | "gamma" | "mlp"
+    hidden: int = 32
+    layers: int = 2
+    gamma: float = 2.2
+    monotone: bool = True
+    # Log-exposure normalization range fed to the MLP.
+    log_min: float = -10.0
+    log_max: float = 4.0
+    smoothness_weight: float = 1e-3
+
+
+@dataclass
+class ModelConfig:
+    max_gaussians: int = 1 << 17
+    sh_degree: int = 3
+    # Number of virtual sharp images averaged into one blurred frame.
+    num_virtual_views: int = 8
+    spline_mode: str = "cubic"  # "linear" | "cubic"
+    optimize_poses: bool = True
+    optimize_exposure: bool = True
+    white_background: bool = False
+    crf: CRFConfig = field(default_factory=CRFConfig)
+    rasterize: RasterizeConfig = field(default_factory=RasterizeConfig)
+
+
+@dataclass
+class DensifyConfig:
+    enabled: bool = True
+    start_iter: int = 500
+    stop_iter: int = 15_000
+    interval: int = 100
+    grad_threshold: float = 0.0002
+    # World-space scale above which a high-grad Gaussian splits vs clones.
+    split_scale_threshold_rel: float = 0.01  # relative to scene extent
+    split_factor: float = 1.6
+    prune_opacity: float = 0.005
+    prune_screen_radius: float = 0.15  # fraction of image diagonal
+    opacity_reset_interval: int = 3000
+    sh_degree_interval: int = 1000
+
+
+@dataclass
+class OptimConfig:
+    means_lr_init: float = 1.6e-4
+    means_lr_final: float = 1.6e-6
+    scales_lr: float = 5e-3
+    quats_lr: float = 1e-3
+    opacities_lr: float = 5e-2
+    sh_dc_lr: float = 2.5e-3
+    sh_rest_lr_div: float = 20.0
+    pose_lr_init: float = 1e-3
+    pose_lr_final: float = 1e-5
+    exposure_lr: float = 1e-3
+    crf_lr: float = 1e-3
+    max_steps: int = 30_000
+
+
+@dataclass
+class LossConfig:
+    ssim_lambda: float = 0.2
+    exposure_prior_weight: float = 1e-3
+    crf_smoothness_weight: float = 1e-3
+
+
+@dataclass
+class ParallelConfig:
+    # Mesh axis sizes; (1, 1) = single chip.  data: virtual views / tiles,
+    # gauss: Gaussian-store model parallelism.
+    data: int = 1
+    gauss: int = 1
+
+
+@dataclass
+class DataConfig:
+    source: str = "synthetic"  # "synthetic" | "colmap" | "video"
+    path: str = ""
+    downscale: int = 1
+    eval_every: int = 8  # every k-th frame held out
+
+
+@dataclass
+class TrainConfig:
+    name: str = "casual-hdr-splat"
+    seed: int = 0
+    model: ModelConfig = field(default_factory=ModelConfig)
+    densify: DensifyConfig = field(default_factory=DensifyConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    log_every: int = 100
+    eval_every: int = 1000
+    checkpoint_every: int = 5000
+    out_dir: str = "outputs"
+
+
+def _apply_override(cfg, dotted: str, value: str):
+    obj = cfg
+    parts = dotted.split(".")
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    leaf = parts[-1]
+    old = getattr(obj, leaf)
+    if isinstance(old, bool):
+        new = value.lower() in ("1", "true", "yes", "on")
+    elif isinstance(old, int):
+        new = int(value)
+    elif isinstance(old, float):
+        new = float(value)
+    else:
+        new = value
+    setattr(obj, leaf, new)
+
+
+def with_overrides(cfg: TrainConfig, overrides) -> TrainConfig:
+    """Apply `a.b.c=value` CLI overrides in place; returns cfg."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value, got {ov!r}")
+        k, v = ov.split("=", 1)
+        _apply_override(cfg, k, v)
+    return cfg
+
+
+# --- BASELINE.json config ladder presets -----------------------------------
+
+
+def preset_1_single_frame() -> TrainConfig:
+    """Single sharp LDR frame, fixed exposure, identity CRF (CPU fwd+bwd)."""
+    cfg = TrainConfig(name="ladder1-single-frame")
+    cfg.model.max_gaussians = 1 << 14
+    cfg.model.num_virtual_views = 1
+    cfg.model.optimize_poses = False
+    cfg.model.optimize_exposure = False
+    cfg.model.crf.kind = "identity"
+    cfg.densify.enabled = False
+    cfg.optim.max_steps = 1000
+    return cfg
+
+
+def preset_2_multi_exposure() -> TrainConfig:
+    """Static multi-exposure sequence: learnable CRF + exposures, no blur."""
+    cfg = TrainConfig(name="ladder2-multi-exposure")
+    cfg.model.num_virtual_views = 1
+    cfg.model.optimize_poses = False
+    cfg.model.optimize_exposure = True
+    cfg.model.crf.kind = "mlp"
+    return cfg
+
+
+def preset_3_motion_blur() -> TrainConfig:
+    """Motion blur only: spline trajectory + joint pose optimization."""
+    cfg = TrainConfig(name="ladder3-motion-blur")
+    cfg.model.num_virtual_views = 8
+    cfg.model.optimize_poses = True
+    cfg.model.optimize_exposure = False
+    cfg.model.crf.kind = "identity"
+    return cfg
+
+
+def preset_4_full() -> TrainConfig:
+    """Full CasualHDRSplat: joint everything + densification."""
+    return TrainConfig(name="ladder4-full")
+
+
+def preset_5_pod() -> TrainConfig:
+    """Multi-host pod run: ~3M Gaussians sharded over the mesh."""
+    cfg = TrainConfig(name="ladder5-pod")
+    cfg.model.max_gaussians = 3 << 20
+    cfg.parallel.data = 4
+    cfg.parallel.gauss = 2
+    return cfg
+
+
+PRESETS = {
+    "ladder1": preset_1_single_frame,
+    "ladder2": preset_2_multi_exposure,
+    "ladder3": preset_3_motion_blur,
+    "ladder4": preset_4_full,
+    "ladder5": preset_5_pod,
+    "default": TrainConfig,
+}

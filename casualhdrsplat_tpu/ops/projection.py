@@ -1,0 +1,143 @@
+"""EWA Gaussian projection (SURVEY.md C1) as a fused jnp computation.
+
+Reference lineage: gsplat `project_gaussians_forward/backward` CUDA kernels
+(~600 LoC of hand-written forward+backward).  On TPU the whole projection
+is elementwise over Gaussians — XLA fuses it into a handful of VPU loops
+and autodiff supplies an exact backward — so the idiomatic implementation
+is a plain jitted function, not a Pallas kernel (SURVEY.md §7 M1: "XLA is
+already near-optimal").
+
+Math (gsplat mathematical supplement, PAPERS.md entry 4):
+  t        = R_view p + t_view                    (camera-space mean)
+  Sigma    = R(q) diag(s)^2 R(q)^T                (world covariance)
+  J        = [[fx/tz, 0, -fx tx/tz^2],
+              [0, fy/tz, -fy ty/tz^2]]            (perspective Jacobian)
+  Sigma2d  = J W Sigma W^T J^T + blur I           (EWA + low-pass, blur=0.3)
+  conic    = Sigma2d^{-1}  (upper triangle xx, xy, yy)
+  radius   = ceil(3 sqrt(lambda_max(Sigma2d)))
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from casualhdrsplat_tpu.geometry.lie import quat_to_rotmat
+
+BLUR_2D = 0.3
+
+
+class Projected(NamedTuple):
+    """Per-Gaussian screen-space packet (the all-gather payload under
+    Gaussian model-parallelism, SURVEY.md P2)."""
+
+    means2d: jnp.ndarray  # [N, 2] pixel coordinates
+    depths: jnp.ndarray  # [N] camera-space z
+    conics: jnp.ndarray  # [N, 3] inverse 2D covariance (xx, xy, yy)
+    radii: jnp.ndarray  # [N] 3-sigma screen radius (float; 0 = culled)
+    valid: jnp.ndarray  # [N] bool — in front of near plane & non-degenerate
+    compensation: jnp.ndarray  # [N] optional AA opacity compensation
+
+
+def quat_scale_to_cov3d(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """Sigma = R S S^T R^T, R from (possibly unnormalized) quaternion."""
+    R = quat_to_rotmat(quats)
+    M = R * scales[..., None, :]  # R @ diag(s)
+    return M @ jnp.swapaxes(M, -1, -2)
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,  # [N, 3]
+    quats: jnp.ndarray,  # [N, 4]
+    scales: jnp.ndarray,  # [N, 3] (activated, positive)
+    viewmat: jnp.ndarray,  # [4, 4] world->camera
+    fx,
+    fy,
+    cx,
+    cy,
+    width: int,
+    height: int,
+    near_plane: float = 0.05,
+    antialias: bool = False,
+) -> Projected:
+    R = viewmat[:3, :3]
+    t = means3d @ R.T + viewmat[:3, 3]
+    tx, ty, tz = t[:, 0], t[:, 1], t[:, 2]
+    in_front = tz > near_plane
+    tz_safe = jnp.where(in_front, tz, 1.0)
+    inv_z = 1.0 / tz_safe
+
+    # Clamp the tangent-plane coordinates like gsplat does, to keep the
+    # Jacobian bounded for points near the image border / behind margins.
+    lim_x = 1.3 * (0.5 * width / fx + jnp.abs((cx - 0.5 * width) / fx))
+    lim_y = 1.3 * (0.5 * height / fy + jnp.abs((cy - 0.5 * height) / fy))
+    txz = jnp.clip(tx * inv_z, -lim_x, lim_x) * tz_safe
+    tyz = jnp.clip(ty * inv_z, -lim_y, lim_y) * tz_safe
+
+    cov3d = quat_scale_to_cov3d(quats, scales)  # [N,3,3]
+    cov_cam = jnp.einsum("ij,njk,lk->nil", R, cov3d, R)  # W Sigma W^T
+
+    # J (2x3) rows; apply J Sigma_cam J^T via explicit expansion (keeps XLA
+    # on cheap fused elementwise ops instead of [N,2,3]x[N,3,3] batched
+    # matmuls with tiny inner dims).
+    j00 = fx * inv_z
+    j02 = -fx * txz * inv_z * inv_z
+    j11 = fy * inv_z
+    j12 = -fy * tyz * inv_z * inv_z
+
+    c00, c01, c02 = cov_cam[:, 0, 0], cov_cam[:, 0, 1], cov_cam[:, 0, 2]
+    c11, c12, c22 = cov_cam[:, 1, 1], cov_cam[:, 1, 2], cov_cam[:, 2, 2]
+
+    sxx = j00 * j00 * c00 + 2.0 * j00 * j02 * c02 + j02 * j02 * c22
+    sxy = j00 * j11 * c01 + j00 * j12 * c02 + j02 * j11 * c12 + j02 * j12 * c22
+    syy = j11 * j11 * c11 + 2.0 * j11 * j12 * c12 + j12 * j12 * c22
+
+    det_raw = sxx * syy - sxy * sxy
+    sxx_b = sxx + BLUR_2D
+    syy_b = syy + BLUR_2D
+    det = sxx_b * syy_b - sxy * sxy
+    nondegenerate = det > 1e-10
+    det_safe = jnp.where(nondegenerate, det, 1.0)
+    inv_det = 1.0 / det_safe
+    conics = jnp.stack([syy_b * inv_det, -sxy * inv_det, sxx_b * inv_det], axis=-1)
+
+    # AA mode scales opacity by sqrt(det_raw/det) (gsplat "antialiased").
+    compensation = jnp.where(
+        nondegenerate, jnp.sqrt(jnp.maximum(det_raw, 0.0) * inv_det), 0.0
+    )
+    if not antialias:
+        compensation = jnp.ones_like(compensation)
+
+    # 3-sigma radius from the larger eigenvalue of the blurred covariance.
+    mid = 0.5 * (sxx_b + syy_b)
+    lam_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
+    radii = jnp.ceil(3.0 * jnp.sqrt(lam_max))
+
+    means2d = jnp.stack([fx * tx * inv_z + cx, fy * ty * inv_z + cy], axis=-1)
+
+    # Cull: behind camera, degenerate, or entirely off-screen.
+    on_screen = (
+        (means2d[:, 0] + radii > 0)
+        & (means2d[:, 0] - radii < width)
+        & (means2d[:, 1] + radii > 0)
+        & (means2d[:, 1] - radii < height)
+    )
+    valid = in_front & nondegenerate & on_screen
+    radii = jnp.where(valid, radii, 0.0)
+
+    return Projected(
+        means2d=means2d,
+        depths=tz,
+        conics=conics,
+        radii=radii,
+        valid=valid,
+        compensation=compensation,
+    )
+
+
+def view_directions(means3d: jnp.ndarray, camtoworld: jnp.ndarray) -> jnp.ndarray:
+    """Unit directions from the camera center to each Gaussian (for SH)."""
+    campos = camtoworld[:3, 3]
+    d = means3d - campos
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)

@@ -1,0 +1,77 @@
+"""Data layer tests (SURVEY.md C19, L1 contract): COLMAP binary round-trip
+and the synthetic casual-video fixture."""
+
+import os
+import struct
+
+import numpy as np
+
+from casualhdrsplat_tpu.data import colmap, dataset, synthetic
+
+
+def write_fake_colmap_bin(model_dir):
+    os.makedirs(model_dir, exist_ok=True)
+    # cameras.bin: one PINHOLE camera
+    with open(os.path.join(model_dir, "cameras.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, 64, 48))
+        f.write(struct.pack("<4d", 60.0, 61.0, 32.0, 24.0))
+    # images.bin: two images
+    with open(os.path.join(model_dir, "images.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        for i, name in ((1, b"frame_000.png"), (2, b"frame_001.png")):
+            f.write(struct.pack("<idddddddi", i, 1.0, 0.0, 0.0, 0.0,
+                                0.1 * i, 0.2, 0.3, 1))
+            f.write(name + b"\x00")
+            f.write(struct.pack("<Q", 1))  # one 2D point
+            f.write(struct.pack("<ddq", 1.0, 2.0, -1))
+    # points3D.bin: three points
+    with open(os.path.join(model_dir, "points3D.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 3))
+        for pid in range(3):
+            f.write(struct.pack("<QdddBBBd", pid, pid * 1.0, 0.5, -0.5,
+                                255, 128, 0, 0.1))
+            f.write(struct.pack("<Q", 2))
+            f.write(struct.pack("<ii", 1, 0) + struct.pack("<ii", 2, 0))
+
+
+def test_colmap_binary_roundtrip(tmp_path):
+    model_dir = str(tmp_path / "sparse" / "0")
+    write_fake_colmap_bin(model_dir)
+    cams, images, xyz, rgb = colmap.load_model(model_dir)
+    assert cams[1].model == "PINHOLE"
+    assert cams[1].pinhole() == (60.0, 61.0, 32.0, 24.0)
+    assert len(images) == 2
+    im = images[1]
+    assert im.name == "frame_000.png"
+    np.testing.assert_allclose(im.viewmat()[:3, :3], np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(im.viewmat()[:3, 3], [0.1, 0.2, 0.3], atol=1e-6)
+    assert xyz.shape == (3, 3)
+    np.testing.assert_allclose(rgb[0], [1.0, 128 / 255.0, 0.0], atol=1e-6)
+
+
+def test_synthetic_video_fixture(rng):
+    video = synthetic.make_casual_video(
+        rng, n_gaussians=50, n_frames=4, n_virtual=3, size=24
+    )
+    assert video.images.shape == (4, 24, 24, 3)
+    assert float(video.images.min()) >= 0.0
+    assert float(video.images.max()) <= 1.0
+    assert video.exposures.shape == (4,)
+    # blur: blurred frame differs from the sharp mid-exposure render
+    sharp_ldr = np.clip(
+        np.asarray(video.sharp_hdr[0]) * float(video.exposures[0]), 0, 1
+    ) ** (1 / 2.2)
+    assert np.abs(np.asarray(video.images[0]) - sharp_ldr).max() > 1e-3
+
+
+def test_synthetic_dataset_split():
+    ds = dataset.make_synthetic_dataset(
+        seed=0, n_gaussians=40, n_frames=6, n_virtual=2, size=16
+    ).split(3)
+    assert ds.num_frames == 6
+    assert set(ds.eval_indices) == {0, 3}
+    assert len(ds.train_indices) == 4
+    assert ds.scene_extent() > 0
+    cam = ds.camera(1)
+    assert cam.width == 16 and cam.height == 16
