@@ -1,0 +1,192 @@
+"""The CasualHDRSplat unified image-formation model (SURVEY.md L4, §0.2).
+
+Implements the behavioral contract transcribed from pipeline.png:
+
+    T(t)   = spline(knots; t)                       continuous camera motion
+    H_k    = Rasterize(G_theta, T(t_k))             virtual sharp HDR images
+    I_k    = F_theta(H_k * dt_i)                    shared CRF -> sharp LDRs
+    B_i    = (1/n) sum_k I_k                        estimated blurred frame
+
+All n virtual views render in ONE rasterizer call (views batch along the
+tile axis — SURVEY.md P4), so a training step is a single jitted graph:
+no per-virtual-view Python loop, no host round trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from casualhdrsplat_tpu.config import ModelConfig
+from casualhdrsplat_tpu.geometry import lie, spline
+from casualhdrsplat_tpu.models import crf as crf_mod
+from casualhdrsplat_tpu.models import gaussians as gauss_mod
+from casualhdrsplat_tpu.ops import rasterize as rast_mod
+
+Params = Dict[str, object]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneStatic:
+    """Non-learnable scene context (pytree of arrays + static ints)."""
+
+    base_knots: jnp.ndarray  # [M,4,4] from SfM poses
+    knot_t0: jnp.ndarray  # scalar
+    knot_dt: jnp.ndarray  # scalar
+    timestamps: jnp.ndarray  # [F] frame start times
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    width: int = dataclasses.field(metadata=dict(static=True))
+    height: int = dataclasses.field(metadata=dict(static=True))
+
+
+def init_params(
+    scene: SceneStatic,
+    points_xyz,
+    points_rgb,
+    cfg: ModelConfig,
+    rng_key: Optional[jax.Array] = None,
+) -> Params:
+    """The full learnable pytree: G_theta, knot deltas, log dt_i, F_theta."""
+    num_frames = scene.timestamps.shape[0]
+    num_knots = scene.base_knots.shape[0]
+    return {
+        "gaussians": gauss_mod.create(
+            points_xyz, points_rgb, cfg.max_gaussians, cfg.sh_degree
+        ),
+        "knot_deltas": jnp.zeros((num_knots, 6), jnp.float32),
+        "log_exposures": jnp.zeros((num_frames,), jnp.float32),
+        "crf": crf_mod.create(cfg.crf, rng_key),
+    }
+
+
+def effective_knots(params: Params, scene: SceneStatic) -> jnp.ndarray:
+    """knot_j = base_j @ exp(delta_j): pose optimization as Lie-algebra
+    deltas composed onto fixed SfM initializations (SURVEY.md C12, the
+    idiomatic JAX replacement for pypose manifold Adam)."""
+    return jnp.einsum(
+        "nij,njk->nik", scene.base_knots, lie.se3_exp_batch(params["knot_deltas"])
+    )
+
+
+def poses_at(params: Params, scene: SceneStatic, times: jnp.ndarray, cfg: ModelConfig):
+    return spline.interpolate(
+        effective_knots(params, scene), scene.knot_t0, scene.knot_dt, times,
+        mode=cfg.spline_mode,
+    )
+
+
+def exposure_of(params: Params, frame_id) -> jnp.ndarray:
+    return jnp.exp(params["log_exposures"][frame_id])
+
+
+class FrameRender(NamedTuple):
+    blurred_ldr: jnp.ndarray  # [H,W,3] B_i — compare with captured frame
+    sharp_ldr: jnp.ndarray  # [n,H,W,3] I_k virtual sharp LDR images
+    sharp_hdr: jnp.ndarray  # [n,H,W,3] H_k virtual sharp HDR images
+    alphas: jnp.ndarray  # [n,H,W]
+    aux: rast_mod.RasterizeAux
+
+
+def render_frame(
+    params: Params,
+    scene: SceneStatic,
+    frame_id,
+    cfg: ModelConfig,
+    num_virtual: Optional[int] = None,
+    sh_degree: Optional[int] = None,
+    means2d_offset: Optional[jnp.ndarray] = None,
+) -> FrameRender:
+    """Render the estimated blurred auto-exposed frame B_i plus all
+    intermediate virtual images (SURVEY.md §3.2: one pure jittable
+    function of (G_theta, T_j, dt_i, F_theta, frame_id))."""
+    n = num_virtual or cfg.num_virtual_views
+    deg = cfg.sh_degree if sh_degree is None else sh_degree
+    t_i = scene.timestamps[frame_id]
+    dt = exposure_of(params, frame_id)
+    if cfg.optimize_poses:
+        t_k = spline.sample_virtual_times(t_i, dt, n)
+        viewmats = poses_at(params, scene, t_k, cfg)  # [n,4,4]
+    else:
+        # static rig: all virtual views share the frame's base pose
+        viewmats = jnp.tile(
+            poses_at(params, scene, jnp.array([t_i]), cfg), (n, 1, 1)
+        )
+
+    act = gauss_mod.activate(params["gaussians"])
+    # View-dependent radiance per virtual view (dirs vary along the spline).
+    camtoworlds = jax.vmap(lie.se3_inverse)(viewmats)
+    colors = jax.vmap(lambda c2w: gauss_mod.colors_for_view(act, c2w, deg))(
+        camtoworlds
+    )  # [n,N,3]
+
+    hdr, alphas, aux = rast_mod.rasterize(
+        act.means3d,
+        act.quats,
+        act.scales,
+        act.opacities,
+        colors,
+        viewmats,
+        scene.fx,
+        scene.fy,
+        scene.cx,
+        scene.cy,
+        scene.width,
+        scene.height,
+        cfg.rasterize,
+        background=jnp.ones((3,)) if cfg.white_background else None,
+        means2d_offset=means2d_offset,
+    )
+    ldr = crf_mod.apply(params["crf"], hdr * dt, cfg.crf)  # [n,H,W,3]
+    blurred = jnp.mean(ldr, axis=0)
+    return FrameRender(
+        blurred_ldr=blurred, sharp_ldr=ldr, sharp_hdr=hdr, alphas=alphas, aux=aux
+    )
+
+
+def render_pose(
+    params: Params,
+    scene: SceneStatic,
+    viewmat: jnp.ndarray,
+    cfg: ModelConfig,
+    exposure: Optional[jnp.ndarray] = None,
+    hdr_output: bool = False,
+    sh_degree: Optional[int] = None,
+):
+    """Eval-time rendering from an arbitrary pose (SURVEY.md §3.4 / C20):
+    novel-view LDR (CRF applied at `exposure`), novel-view HDR
+    (linear radiance, CRF skipped), and — by sweeping `exposure` — HDR
+    exposure editing (teaser.png c.1)."""
+    deg = cfg.sh_degree if sh_degree is None else sh_degree
+    act = gauss_mod.activate(params["gaussians"])
+    colors = gauss_mod.colors_for_view(act, lie.se3_inverse(viewmat), deg)
+    hdr, alphas, aux = rast_mod.rasterize(
+        act.means3d, act.quats, act.scales, act.opacities, colors[None],
+        viewmat[None], scene.fx, scene.fy, scene.cx, scene.cy,
+        scene.width, scene.height, cfg.rasterize,
+        background=jnp.ones((3,)) if cfg.white_background else None,
+    )
+    if hdr_output:
+        return hdr[0], alphas[0], aux
+    dt = exposure if exposure is not None else jnp.asarray(1.0)
+    ldr = crf_mod.apply(params["crf"], hdr[0] * dt, cfg.crf)
+    return ldr, alphas[0], aux
+
+
+def render_deblurred(
+    params: Params, scene: SceneStatic, frame_id, cfg: ModelConfig, hdr_output=False
+):
+    """Deblur a training frame (teaser.png c.2): single sharp render at the
+    mid-exposure pose, tone-mapped once — no blur average."""
+    t_mid = scene.timestamps[frame_id] + 0.5 * exposure_of(params, frame_id)
+    viewmat = poses_at(params, scene, jnp.array([t_mid]), cfg)[0]
+    return render_pose(
+        params, scene, viewmat, cfg,
+        exposure=exposure_of(params, frame_id), hdr_output=hdr_output,
+    )

@@ -1,0 +1,69 @@
+"""Training losses (SURVEY.md C16): L1 + D-SSIM on the synthesized blurred
+LDR frame vs the captured frame, plus the gauge-fixing priors that make
+the joint HDR x exposure x CRF optimization well-posed."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(a - b))
+
+
+@functools.partial(jax.jit, static_argnames=("window", "sigma"))
+def ssim(a: jnp.ndarray, b: jnp.ndarray, window: int = 11, sigma: float = 1.5):
+    """Mean SSIM over an [H,W,3] pair (Gaussian 11x11 window, the standard
+    constants of the 3DGS lineage). Differentiable."""
+    c1, c2 = 0.01**2, 0.03**2
+    half = window // 2
+    x = jnp.arange(window, dtype=jnp.float32) - half
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    g = g / g.sum()
+
+    def blur(img):
+        # separable depthwise convolution, NHWC with C groups
+        img4 = img[None].transpose(0, 3, 1, 2)  # [1,C,H,W]
+        kh = jnp.tile(g[None, None, :, None], (3, 1, 1, 1))  # [C,1,W,1]
+        kw = jnp.tile(g[None, None, None, :], (3, 1, 1, 1))
+        dn = jax.lax.conv_dimension_numbers(img4.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+        out = jax.lax.conv_general_dilated(
+            img4, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=3
+        )
+        out = jax.lax.conv_general_dilated(
+            out, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=3
+        )
+        return out.transpose(0, 2, 3, 1)[0]
+
+    mu_a, mu_b = blur(a), blur(b)
+    mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
+    var_a = blur(a * a) - mu_aa
+    var_b = blur(b * b) - mu_bb
+    cov = blur(a * b) - mu_ab
+    s = ((2 * mu_ab + c1) * (2 * cov + c2)) / (
+        (mu_aa + mu_bb + c1) * (var_a + var_b + c2)
+    )
+    return jnp.mean(s)
+
+
+def d_ssim(a, b):
+    return (1.0 - ssim(a, b)) / 2.0
+
+
+def photometric(pred, target, ssim_lambda: float):
+    """(1-l) L1 + l D-SSIM — the 3DGS photometric loss."""
+    return (1.0 - ssim_lambda) * l1(pred, target) + ssim_lambda * d_ssim(pred, target)
+
+
+def exposure_prior(log_exposures: jnp.ndarray, log_init: jnp.ndarray) -> jnp.ndarray:
+    """Pin the global exposure scale: the product HDR x dt x CRF has a
+    gauge freedom; anchoring mean log-exposure to its init removes it."""
+    return jnp.mean(log_exposures - log_init) ** 2
+
+
+def psnr(a, b, max_val: float = 1.0):
+    mse = jnp.mean((a - b) ** 2)
+    return 20.0 * jnp.log10(max_val) - 10.0 * jnp.log10(jnp.maximum(mse, 1e-12))

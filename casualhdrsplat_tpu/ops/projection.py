@@ -62,7 +62,11 @@ def project_gaussians(
     antialias: bool = False,
 ) -> Projected:
     R = viewmat[:3, :3]
-    t = means3d @ R.T + viewmat[:3, 3]
+    # NOTE: written as broadcast mul+sum, NOT `means3d @ R.T` — tall-skinny
+    # dots (large N x tiny contraction) pathologically slow the TPU
+    # compiler (minutes per dot); the elementwise form compiles instantly
+    # and fuses into the surrounding VPU work anyway.
+    t = jnp.sum(means3d[:, None, :] * R[None, :, :], axis=-1) + viewmat[:3, 3]
     tx, ty, tz = t[:, 0], t[:, 1], t[:, 2]
     in_front = tz > near_plane
     tz_safe = jnp.where(in_front, tz, 1.0)
@@ -76,7 +80,13 @@ def project_gaussians(
     tyz = jnp.clip(ty * inv_z, -lim_y, lim_y) * tz_safe
 
     cov3d = quat_scale_to_cov3d(quats, scales)  # [N,3,3]
-    cov_cam = jnp.einsum("ij,njk,lk->nil", R, cov3d, R)  # W Sigma W^T
+    # W Sigma W^T as BATCHED 3x3 matmuls (broadcast R), not an einsum —
+    # einsum lowers this to a tall-skinny 2D dot, which the TPU compiler
+    # autotunes for minutes (same pathology as the note above); batched
+    # tiny matmuls compile instantly.
+    n = cov3d.shape[0]
+    r_b = jnp.broadcast_to(R, (n, 3, 3))
+    cov_cam = jnp.matmul(jnp.matmul(r_b, cov3d), jnp.swapaxes(r_b, -1, -2))
 
     # J (2x3) rows; apply J Sigma_cam J^T via explicit expansion (keeps XLA
     # on cheap fused elementwise ops instead of [N,2,3]x[N,3,3] batched

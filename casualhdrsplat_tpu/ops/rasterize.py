@@ -1,0 +1,110 @@
+"""Differentiable Gaussian rasterization — public API (SURVEY.md L3):
+
+    rasterize(gaussians, cameras) -> images, aux, full VJP
+
+Reference-lineage equivalent: gsplat `project_gaussians` +
+`rasterize_gaussians` autograd Functions over CUDA (SURVEY.md C1-C6).
+Here: fused jnp projection/SH -> static-shape tile binning (XLA sort) ->
+payload gather -> chunked per-tile compositing (custom_vjp; XLA or Pallas
+backend) -> tile reassembly.  Multiple views (the n virtual cameras of a
+blurred frame) batch along the tile axis so ONE kernel launch renders all
+virtual views of a frame (SURVEY.md P4).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from casualhdrsplat_tpu.config import RasterizeConfig
+from casualhdrsplat_tpu.ops import binning
+from casualhdrsplat_tpu.ops.composite import CompositeStatics, composite_tiles
+from casualhdrsplat_tpu.ops.projection import project_gaussians
+
+
+class RasterizeAux(NamedTuple):
+    radii: jnp.ndarray  # [V, N] screen radii (0 = culled) — ADC visibility
+    depths: jnp.ndarray  # [V, N]
+    num_dropped: jnp.ndarray  # [] tile-capacity overflow counter
+
+
+def default_backend() -> str:
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+
+
+def resolve_backend(cfg: RasterizeConfig) -> str:
+    return default_backend() if cfg.backend == "auto" else cfg.backend
+
+
+def rasterize(
+    means3d: jnp.ndarray,  # [N,3]
+    quats: jnp.ndarray,  # [N,4]
+    scales: jnp.ndarray,  # [N,3] activated
+    opacities: jnp.ndarray,  # [N] activated
+    colors: jnp.ndarray,  # [N,3] per-Gaussian linear HDR radiance
+    viewmats: jnp.ndarray,  # [V,4,4] world->cam
+    fx,
+    fy,
+    cx,
+    cy,
+    width: int,
+    height: int,
+    cfg: RasterizeConfig,
+    background: Optional[jnp.ndarray] = None,  # [3]
+    means2d_offset: Optional[jnp.ndarray] = None,  # [N,2] zeros; ADC grad tap
+):
+    """Render V views of the same Gaussian set.
+
+    Returns (images [V,H,W,3], alphas [V,H,W], aux).
+    """
+    viewmats = jnp.asarray(viewmats)
+    if viewmats.ndim == 2:
+        viewmats = viewmats[None]
+    v = viewmats.shape[0]
+    th, tw = cfg.tile_h, cfg.tile_w
+    ntx, nty = binning.tile_grid(width, height, th, tw)
+
+    def per_view(viewmat):
+        proj = project_gaussians(
+            means3d, quats, scales, viewmat, fx, fy, cx, cy, width, height,
+            near_plane=cfg.near_plane,
+        )
+        if means2d_offset is not None:
+            proj = proj._replace(means2d=proj.means2d + means2d_offset)
+        tiles = binning.assign_tiles(
+            proj, width, height, th, tw, cfg.tile_capacity,
+            cfg.max_tiles_per_gaussian,
+        )
+        payload = binning.build_payload(proj, colors, opacities)
+        gathered = binning.gather_payload(payload, tiles)
+        return gathered, proj.radii, proj.depths, tiles.num_dropped
+
+    gathered, radii, depths, dropped = jax.vmap(per_view)(viewmats)
+    tt = v * ntx * nty
+    gathered = gathered.reshape(tt, cfg.tile_capacity, binning.PAYLOAD_DIM)
+
+    statics = CompositeStatics(
+        num_views=v,
+        ntx=ntx,
+        nty=nty,
+        tile_h=th,
+        tile_w=tw,
+        chunk=cfg.chunk,
+        alpha_clip=cfg.alpha_clip,
+        alpha_threshold=cfg.alpha_threshold,
+        backend=resolve_backend(cfg),
+    )
+    out4 = composite_tiles(gathered, statics)  # [tt, 4, P]
+
+    # Reassemble tiles -> padded image -> crop.
+    out4 = out4.reshape(v, nty, ntx, 4, th, tw)
+    out4 = out4.transpose(0, 3, 1, 4, 2, 5).reshape(v, 4, nty * th, ntx * tw)
+    out4 = out4[:, :, :height, :width]
+    images = out4[:, :3].transpose(0, 2, 3, 1)  # [V,H,W,3]
+    alphas = jnp.clip(out4[:, 3], 0.0, 1.0)  # [V,H,W]
+    if background is not None:
+        images = images + (1.0 - alphas)[..., None] * background[None, None, None, :]
+    aux = RasterizeAux(radii=radii, depths=depths, num_dropped=jnp.sum(dropped))
+    return images, alphas, aux

@@ -1,0 +1,86 @@
+"""CRF tests (SURVEY.md C14): monotonicity by construction, identity /
+gamma modes, and recovery of a known gamma CRF by gradient descent."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from casualhdrsplat_tpu.config import CRFConfig
+from casualhdrsplat_tpu.models import crf
+
+
+def test_identity_mode():
+    cfg = CRFConfig(kind="identity")
+    e = jnp.array([[-0.5, 0.3, 2.0]])
+    out = crf.apply({}, e, cfg)
+    np.testing.assert_allclose(out, [[0.0, 0.3, 1.0]], atol=1e-6)
+
+
+def test_gamma_mode():
+    cfg = CRFConfig(kind="gamma", gamma=2.2)
+    e = jnp.array([[0.25, 1.5, 0.0]])
+    out = crf.apply({}, e, cfg)
+    np.testing.assert_allclose(out, [[0.25 ** (1 / 2.2), 1.0, 0.0]], atol=1e-6)
+
+
+def test_mlp_monotone(rng):
+    cfg = CRFConfig(kind="mlp")
+    params = crf.create(cfg, jax.random.PRNGKey(3))
+    # random parameter perturbation must stay monotone (by construction)
+    params = jax.tree.map(
+        lambda p: p + jnp.asarray(rng.normal(size=p.shape), jnp.float32), params
+    )
+    e, ldr = crf.response_curve(params, cfg, 512)
+    d = np.diff(np.asarray(ldr), axis=0)
+    assert (d >= -1e-6).all()
+    assert (np.asarray(ldr) >= 0).all() and (np.asarray(ldr) <= 1).all()
+
+
+def test_mlp_init_reasonable():
+    """Init approximates a soft clamp: dark -> ~0, bright -> ~1, mid rising."""
+    cfg = CRFConfig(kind="mlp")
+    params = crf.create(cfg)
+    out = crf.apply(params, jnp.array([[1e-4, 1e-4, 1e-4],
+                                       [0.35, 0.35, 0.35],
+                                       [30.0, 30.0, 30.0]]), cfg)
+    out = np.asarray(out)
+    assert out[0].max() < 0.1
+    assert 0.25 < out[1].mean() < 0.75
+    assert out[2].min() > 0.9
+
+
+def test_mlp_fits_gamma_curve():
+    """Gradient descent on the monotone MLP recovers a gamma-2.2 CRF."""
+    cfg = CRFConfig(kind="mlp", hidden=32)
+    params = crf.create(cfg, jax.random.PRNGKey(0))
+    # smooth part of the curve (real CRFs roll off before the hard clip)
+    e = jnp.exp(jnp.linspace(-6.0, 0.0, 256))
+    target = jnp.clip(e, 0.0, 1.0) ** (1 / 2.2)
+    e3 = jnp.tile(e[:, None], (1, 3))
+    t3 = jnp.tile(target[:, None], (1, 3))
+
+    def loss(p):
+        return jnp.mean((crf.apply(p, e3, cfg) - t3) ** 2)
+
+    opt = optax.adam(3e-2)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(loss)(p)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(p, u), s, l
+
+    for _ in range(1500):
+        params, state, l = step(params, state)
+    assert float(l) < 3e-4, float(l)
+
+
+def test_smoothness_prior_finite():
+    cfg = CRFConfig(kind="mlp")
+    params = crf.create(cfg)
+    p = crf.smoothness_prior(params, cfg)
+    assert np.isfinite(float(p))
+    g = jax.grad(lambda pp: crf.smoothness_prior(pp, cfg))(params)
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(g))

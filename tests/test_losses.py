@@ -1,0 +1,59 @@
+"""Loss tests (SURVEY.md C16)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from casualhdrsplat_tpu.models import losses
+
+
+def test_ssim_identity(rng):
+    a = jnp.asarray(rng.uniform(size=(32, 32, 3)), jnp.float32)
+    assert abs(float(losses.ssim(a, a)) - 1.0) < 1e-5
+    assert abs(float(losses.d_ssim(a, a))) < 1e-5
+
+
+def test_ssim_decreases_with_noise(rng):
+    a = jnp.asarray(rng.uniform(size=(48, 48, 3)), jnp.float32)
+    n1 = a + 0.05 * jnp.asarray(rng.normal(size=a.shape), jnp.float32)
+    n2 = a + 0.3 * jnp.asarray(rng.normal(size=a.shape), jnp.float32)
+    s1, s2 = float(losses.ssim(a, n1)), float(losses.ssim(a, n2))
+    assert 1.0 > s1 > s2
+
+
+def test_ssim_matches_reference_structure(rng):
+    """Constant-shifted image: SSIM dominated by luminance term only."""
+    a = jnp.asarray(rng.uniform(0.2, 0.6, size=(40, 40, 3)), jnp.float32)
+    b = a + 0.1
+    s = float(losses.ssim(a, b))
+    assert 0.5 < s < 1.0
+
+
+def test_ssim_grad_finite(rng):
+    a = jnp.asarray(rng.uniform(size=(24, 24, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(size=(24, 24, 3)), jnp.float32)
+    g = jax.grad(lambda x: losses.d_ssim(x, b))(a)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_photometric_weighting(rng):
+    a = jnp.asarray(rng.uniform(size=(24, 24, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(size=(24, 24, 3)), jnp.float32)
+    l0 = float(losses.photometric(a, b, 0.0))
+    np.testing.assert_allclose(l0, float(losses.l1(a, b)), rtol=1e-6)
+    l1v = float(losses.photometric(a, b, 1.0))
+    np.testing.assert_allclose(l1v, float(losses.d_ssim(a, b)), rtol=1e-6)
+
+
+def test_psnr():
+    a = jnp.zeros((8, 8, 3))
+    b = jnp.full((8, 8, 3), 0.1)
+    np.testing.assert_allclose(float(losses.psnr(a, b)), 20.0, atol=1e-4)
+
+
+def test_exposure_prior():
+    le = jnp.array([0.2, -0.2, 0.1, -0.1])
+    init = jnp.zeros(4)
+    assert float(losses.exposure_prior(le, init)) == 0.0  # mean matches
+    assert float(losses.exposure_prior(le + 1.0, init)) > 0.5
