@@ -1,0 +1,149 @@
+"""CLI entry points (SURVEY.md L6): train / render / eval / export.
+
+Reference lineage: `ns-train casual-hdr-splat`, `ns-render`, `ns-eval`.
+Here: `python -m casualhdrsplat_tpu.cli <command> [--preset name]
+[dotted.key=value ...]`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _build_cfg(args):
+    from casualhdrsplat_tpu import config
+
+    cfg = config.PRESETS[args.preset]()
+    config.with_overrides(cfg, args.overrides)
+    return cfg
+
+
+def _make_trainer(cfg, checkpoint_path=None):
+    from casualhdrsplat_tpu.train.trainer import Trainer
+
+    t = Trainer(cfg)
+    if checkpoint_path:
+        t.load(checkpoint_path)
+    return t
+
+
+def cmd_train(args):
+    from casualhdrsplat_tpu.utils import runtime
+
+    runtime.setup()
+    cfg = _build_cfg(args)
+    t = _make_trainer(cfg, args.checkpoint)
+    last = t.train()
+    print("final:", last)
+
+
+def cmd_eval(args):
+    from casualhdrsplat_tpu.utils import runtime
+
+    runtime.setup()
+    cfg = _build_cfg(args)
+    t = _make_trainer(cfg, args.checkpoint)
+    print(t.evaluate())
+
+
+def cmd_render(args):
+    """Render novel views / deblurred frames / HDR exposure sweeps from a
+    checkpoint (SURVEY.md §3.4, C20)."""
+    import jax.numpy as jnp
+
+    from casualhdrsplat_tpu.models import image_formation as imf
+    from casualhdrsplat_tpu.train import metrics as metrics_mod
+    from casualhdrsplat_tpu.utils import runtime
+
+    runtime.setup()
+    cfg = _build_cfg(args)
+    t = _make_trainer(cfg, args.checkpoint)
+    os.makedirs(args.out, exist_ok=True)
+    frames = (
+        [int(f) for f in args.frames.split(",")]
+        if args.frames
+        else list(range(min(3, t.dataset.num_frames)))
+    )
+    for i in frames:
+        if args.mode == "deblur":
+            img, _, _ = imf.render_deblurred(t.params, t.scene, jnp.asarray(i), cfg.model)
+            metrics_mod.save_image(os.path.join(args.out, f"deblur_{i:04d}.png"), img)
+        elif args.mode == "hdr":
+            img, _, _ = imf.render_deblurred(
+                t.params, t.scene, jnp.asarray(i), cfg.model, hdr_output=True
+            )
+            np.save(os.path.join(args.out, f"hdr_{i:04d}.npy"), np.asarray(img))
+        elif args.mode == "exposure-sweep":
+            mid = t.scene.timestamps[i] + 0.5 * imf.exposure_of(t.params, i)
+            viewmat = imf.poses_at(t.params, t.scene, jnp.array([mid]), cfg.model)[0]
+            for j, dt in enumerate(np.geomspace(args.sweep_min, args.sweep_max, args.sweep_n)):
+                img, _, _ = imf.render_pose(
+                    t.params, t.scene, viewmat, cfg.model, exposure=jnp.asarray(dt)
+                )
+                metrics_mod.save_image(
+                    os.path.join(args.out, f"sweep_{i:04d}_{j:02d}.png"), img
+                )
+        else:  # blurred (reproduce the captured frame)
+            out = imf.render_frame(t.params, t.scene, jnp.asarray(i), cfg.model)
+            metrics_mod.save_image(
+                os.path.join(args.out, f"blur_{i:04d}.png"), out.blurred_ldr
+            )
+    print(f"wrote renders to {args.out}")
+
+
+def cmd_export(args):
+    from casualhdrsplat_tpu.train import checkpoint as ckpt_mod
+    from casualhdrsplat_tpu.utils import runtime
+
+    runtime.setup()
+    cfg = _build_cfg(args)
+    t = _make_trainer(cfg, args.checkpoint)
+    n = ckpt_mod.export_ply(args.out, t.params["gaussians"])
+    print(f"wrote {n} Gaussians to {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="casualhdrsplat_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--preset", default="default", help="config preset name")
+        sp.add_argument("--checkpoint", default=None, help="checkpoint dir to load")
+        sp.add_argument(
+            "overrides", nargs="*", default=[], help="dotted config overrides k=v"
+        )
+
+    sp = sub.add_parser("train")
+    common(sp)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("eval")
+    common(sp)
+    sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("render")
+    common(sp)
+    sp.add_argument("--mode", default="deblur",
+                    choices=["deblur", "hdr", "exposure-sweep", "blurred"])
+    sp.add_argument("--out", default="renders")
+    sp.add_argument("--frames", default="", help="comma-separated frame ids")
+    sp.add_argument("--sweep-min", type=float, default=0.1)
+    sp.add_argument("--sweep-max", type=float, default=4.0)
+    sp.add_argument("--sweep-n", type=int, default=7)
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("export")
+    common(sp)
+    sp.add_argument("--out", default="gaussians.ply")
+    sp.set_defaults(fn=cmd_export)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

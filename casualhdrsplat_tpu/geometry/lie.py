@@ -77,7 +77,10 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """
     q = rotmat_to_quat(R)  # (w, x, y, z), w >= 0
     qw, qv = q[..., 0], q[..., 1:]
-    nv = jnp.linalg.norm(qv, axis=-1)
+    # guarded norm: grad of ||qv|| at qv = 0 is NaN (0/0); the max clamp
+    # makes it exactly 0 there, which matters because identity relative
+    # rotations DO occur (repeated boundary spline knots).
+    nv = jnp.sqrt(jnp.maximum(jnp.sum(qv * qv, axis=-1), 1e-24))
     small = nv < 1e-6
     safe_nv = jnp.where(small, 1.0, nv)
     # theta = 2 atan2(|v|, w); scale = theta / |v|, Taylor 2(1 + |v|^2/6).

@@ -46,6 +46,30 @@ class SceneStatic:
     height: int = dataclasses.field(metadata=dict(static=True))
 
 
+def build_scene(dataset, cfg: ModelConfig) -> SceneStatic:
+    """SceneStatic from a data.dataset.Dataset: spline knots initialized
+    from the per-frame SfM poses (SURVEY.md §3.5 dataparser contract)."""
+    poses = jnp.asarray(dataset.viewmats)
+    knots, t0, dt = spline.knots_for_frames(poses, pad=2)
+    ts = jnp.asarray(dataset.timestamps)
+    # knots_for_frames assumes unit frame spacing starting at 0; rescale
+    # the knot clock to the dataset's timestamps.
+    t_start = ts[0]
+    t_step = jnp.where(ts.shape[0] > 1, (ts[-1] - ts[0]) / max(ts.shape[0] - 1, 1), 1.0)
+    return SceneStatic(
+        base_knots=knots,
+        knot_t0=t_start + t0 * t_step,
+        knot_dt=t_step * jnp.asarray(dt),
+        timestamps=ts,
+        fx=jnp.asarray(dataset.fx, jnp.float32),
+        fy=jnp.asarray(dataset.fy, jnp.float32),
+        cx=jnp.asarray(dataset.cx, jnp.float32),
+        cy=jnp.asarray(dataset.cy, jnp.float32),
+        width=dataset.width,
+        height=dataset.height,
+    )
+
+
 def init_params(
     scene: SceneStatic,
     points_xyz,

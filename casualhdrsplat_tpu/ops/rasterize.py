@@ -66,7 +66,7 @@ def rasterize(
     th, tw = cfg.tile_h, cfg.tile_w
     ntx, nty = binning.tile_grid(width, height, th, tw)
 
-    def per_view(viewmat):
+    def per_view(viewmat, view_colors):
         proj = project_gaussians(
             means3d, quats, scales, viewmat, fx, fy, cx, cy, width, height,
             near_plane=cfg.near_plane,
@@ -77,11 +77,15 @@ def rasterize(
             proj, width, height, th, tw, cfg.tile_capacity,
             cfg.max_tiles_per_gaussian,
         )
-        payload = binning.build_payload(proj, colors, opacities)
+        payload = binning.build_payload(proj, view_colors, opacities)
         gathered = binning.gather_payload(payload, tiles)
         return gathered, proj.radii, proj.depths, tiles.num_dropped
 
-    gathered, radii, depths, dropped = jax.vmap(per_view)(viewmats)
+    # colors: shared [N,3] or per-view [V,N,3] (view-dependent SH radiance)
+    color_axis = 0 if colors.ndim == 3 else None
+    gathered, radii, depths, dropped = jax.vmap(per_view, in_axes=(0, color_axis))(
+        viewmats, colors
+    )
     tt = v * ntx * nty
     gathered = gathered.reshape(tt, cfg.tile_capacity, binning.PAYLOAD_DIM)
 

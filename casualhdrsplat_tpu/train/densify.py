@@ -1,0 +1,162 @@
+"""Adaptive density control (SURVEY.md C9) on the fixed-capacity store.
+
+Reference lineage: `densify_and_clone/split/prune` + `reset_opacity` —
+torch code that reallocates tensors every 100 iterations and hand-edits
+Adam state.  XLA forbids shape changes, so the TPU redesign performs ADC
+as pure masked scatters on the [capacity]-shaped pytree (SURVEY.md §7 M4):
+
+- prune: clear `alive` (low opacity / oversized screen radius);
+- clone (small, high screen-gradient) and split (large, high-grad): each
+  requester is granted one free slot via a rank -> free-slot mapping
+  computed with cumsum + argsort — deterministic, no host round-trip;
+- optimizer moments at touched slots are zeroed through the same masks
+  (optim.zero_state_at), the lineage's "optimizer state surgery";
+- everything stays jittable, so ADC can run inside the sharded train
+  graph and resharding is just the same scatters under a sharding
+  constraint (SURVEY.md P5).
+
+Screen-space gradient statistics are accumulated from the rasterizer's
+`means2d_offset` gradient tap between ADC rounds.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from casualhdrsplat_tpu.config import DensifyConfig
+from casualhdrsplat_tpu.geometry.lie import quat_to_rotmat
+from casualhdrsplat_tpu.models.gaussians import inverse_sigmoid
+
+
+class AdcState(NamedTuple):
+    grad_accum: jnp.ndarray  # [N] sum of ||d loss / d means2d|| per round
+    count: jnp.ndarray  # [N] visibility count
+    max_radii: jnp.ndarray  # [N] max screen radius (pixels) this round
+
+    @staticmethod
+    def zero(n: int) -> "AdcState":
+        return AdcState(
+            grad_accum=jnp.zeros((n,), jnp.float32),
+            count=jnp.zeros((n,), jnp.int32),
+            max_radii=jnp.zeros((n,), jnp.float32),
+        )
+
+
+def accumulate(state: AdcState, means2d_grad: jnp.ndarray, radii: jnp.ndarray):
+    """Update per-Gaussian statistics after one training step.
+
+    means2d_grad: [N,2]; radii: [V,N] (0 where culled).
+    """
+    r = jnp.max(radii, axis=0)
+    visible = r > 0
+    g = jnp.linalg.norm(means2d_grad, axis=-1)
+    return AdcState(
+        grad_accum=state.grad_accum + jnp.where(visible, g, 0.0),
+        count=state.count + visible.astype(jnp.int32),
+        max_radii=jnp.maximum(state.max_radii, r),
+    )
+
+
+class AdcReport(NamedTuple):
+    num_cloned: jnp.ndarray
+    num_split: jnp.ndarray
+    num_pruned: jnp.ndarray
+    num_alive: jnp.ndarray
+
+
+def densify_and_prune(
+    gauss: Dict[str, jnp.ndarray],
+    opt_state,
+    adc: AdcState,
+    key: jax.Array,
+    cfg: DensifyConfig,
+    scene_extent: float,
+    image_diag: float,
+    screen_prune: bool = False,
+) -> Tuple[Dict[str, jnp.ndarray], object, AdcState, AdcReport]:
+    n = gauss["alive"].shape[0]
+    alive = gauss["alive"]
+    opac = jax.nn.sigmoid(gauss["opacity_logit"])
+
+    prune = alive & (opac < cfg.prune_opacity)
+    if screen_prune:
+        # the lineage enables the screen-size prune only after the first
+        # opacity reset, once opacities are informative
+        prune = prune | (
+            alive & (adc.max_radii > cfg.prune_screen_radius * image_diag)
+        )
+    alive = alive & ~prune
+
+    avg_grad = jnp.where(adc.count > 0, adc.grad_accum / jnp.maximum(adc.count, 1), 0.0)
+    high = alive & (avg_grad > cfg.grad_threshold)
+    scale_max = jnp.exp(gauss["log_scales"]).max(axis=-1)
+    split = high & (scale_max > cfg.split_scale_threshold_rel * scene_extent)
+    clone = high & ~split
+
+    # one new slot per requester, granted in index order from free slots
+    need = split | clone
+    free = ~alive
+    num_free = jnp.sum(free)
+    rank = jnp.cumsum(need) - 1  # [N] rank among requesters
+    free_slots = jnp.argsort(~free)  # free slot indices first, index order
+    granted = need & (rank < num_free)
+    dest = free_slots[jnp.clip(rank, 0, n - 1)]  # valid where granted
+    scatter_idx = jnp.where(granted, dest, n)  # n -> dropped
+
+    # child samples for splits: x = mu + R(q) (s * eps), scales / factor
+    eps1, eps2 = jax.random.normal(key, (2, n, 3))
+    rot = quat_to_rotmat(gauss["quats"])
+    scales = jnp.exp(gauss["log_scales"])
+
+    def sample(eps):
+        return gauss["means"] + jnp.einsum("nij,nj->ni", rot, scales * eps)
+
+    new_log_scales = gauss["log_scales"] - jnp.log(cfg.split_factor)
+
+    # values written to the NEW slot: split -> child2 sample, clone -> copy
+    child_means = jnp.where(split[:, None], sample(eps2), gauss["means"])
+    child_log_scales = jnp.where(split[:, None], new_log_scales, gauss["log_scales"])
+
+    def scatter(leaf, child_vals):
+        return leaf.at[scatter_idx].set(child_vals, mode="drop")
+
+    out = dict(gauss)
+    out["means"] = scatter(gauss["means"], child_means)
+    out["log_scales"] = scatter(gauss["log_scales"], child_log_scales)
+    for k in ("quats", "opacity_logit", "sh_dc", "sh_rest"):
+        out[k] = scatter(gauss[k], gauss[k])
+
+    # parent slot updates for splits: child1 sample + shrunk scale
+    out["means"] = jnp.where(split[:, None], sample(eps1), out["means"])
+    out["log_scales"] = jnp.where(split[:, None], new_log_scales, out["log_scales"])
+
+    new_alive = alive.at[scatter_idx].set(True, mode="drop")
+    out["alive"] = new_alive
+
+    # zero optimizer moments at every touched slot
+    touched = (
+        jnp.zeros((n,), bool).at[scatter_idx].set(True, mode="drop") | split | prune
+    )
+    from casualhdrsplat_tpu.train import optim as optim_mod
+
+    opt_state = optim_mod.zero_state_at(opt_state, "gaussians", touched)
+
+    report = AdcReport(
+        num_cloned=jnp.sum(clone & granted),
+        num_split=jnp.sum(split & granted),
+        num_pruned=jnp.sum(prune),
+        num_alive=jnp.sum(new_alive),
+    )
+    return out, opt_state, AdcState.zero(n), report
+
+
+def reset_opacity(gauss: Dict[str, jnp.ndarray], value: float = 0.01):
+    """Clamp opacities down (every 3k steps in the lineage) so pruning can
+    retire Gaussians that stopped contributing."""
+    cap = inverse_sigmoid(value)
+    out = dict(gauss)
+    out["opacity_logit"] = jnp.minimum(gauss["opacity_logit"], cap)
+    return out

@@ -1,0 +1,69 @@
+"""Metrics / logging / observability (SURVEY.md §5.5): console + JSONL
+scalars (loss, PSNR, #Gaussians, throughput in Mpix/s) and optional image
+dumps — the TPU build's replacement for the lineage's TensorBoard/W&B
+hooks, dependency-free and machine-readable."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+
+class MetricsLogger:
+    def __init__(self, out_dir: str, filename: str = "metrics.jsonl", echo: bool = True):
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, filename)
+        self._f = open(self.path, "a")
+        self.echo = echo
+        self._t0 = time.time()
+
+    def log(self, step: int, **scalars: Any) -> None:
+        rec: Dict[str, Any] = {"step": step, "t": round(time.time() - self._t0, 3)}
+        for k, v in scalars.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                rec[k] = v
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self.echo:
+            parts = " ".join(
+                f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in rec.items()
+                if k not in ("t",)
+            )
+            print(f"[{rec['t']:9.1f}s] {parts}", flush=True)
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def save_image(path: str, img, clip: bool = True) -> None:
+    """Write an [H,W,3] float image as PNG (PIL, gated)."""
+    import numpy as np
+
+    arr = np.asarray(img)
+    if clip:
+        arr = np.clip(arr, 0.0, 1.0)
+    try:
+        from PIL import Image
+    except ImportError:
+        np.save(path + ".npy", arr)
+        return
+    Image.fromarray((arr * 255).astype(np.uint8)).save(path)
+
+
+class Timer:
+    """block_until_ready timing harness for the Mpix/s metric
+    (SURVEY.md §5.1)."""
+
+    def __init__(self):
+        self.t = time.time()
+
+    def lap(self) -> float:
+        now = time.time()
+        dt = now - self.t
+        self.t = now
+        return dt

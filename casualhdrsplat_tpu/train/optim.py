@@ -1,0 +1,89 @@
+"""Per-group optimizers and schedules (SURVEY.md C17).
+
+Reference lineage: one torch Adam per parameter group with 3DGS learning
+rates (means exp-decayed and scene-scale-scaled, SH rest / 20, etc.).
+Here: a single optax.multi_transform over the parameter pytree — one
+jittable update, pytree-aligned optimizer state (which densification can
+edit with the same masked scatters it applies to the parameters, and which
+shards over the mesh like the parameters themselves — SURVEY.md P5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from casualhdrsplat_tpu.config import OptimConfig
+
+
+def _label_tree(params: Dict[str, Any]):
+    """Pytree of group labels matching the param structure."""
+
+    def label_gauss(k):
+        return {
+            "means": "means",
+            "quats": "quats",
+            "log_scales": "scales",
+            "opacity_logit": "opacities",
+            "sh_dc": "sh_dc",
+            "sh_rest": "sh_rest",
+            "alive": "frozen",
+        }[k]
+
+    return {
+        "gaussians": {k: label_gauss(k) for k in params["gaussians"]},
+        "knot_deltas": "pose",
+        "log_exposures": "exposure",
+        "crf": jax.tree.map(lambda _: "crf", params["crf"]),
+    }
+
+
+def make_optimizer(cfg: OptimConfig, scene_extent: float = 1.0):
+    """Returns an optax GradientTransformation over the full param pytree."""
+    means_sched = optax.exponential_decay(
+        init_value=cfg.means_lr_init * scene_extent,
+        transition_steps=cfg.max_steps,
+        decay_rate=cfg.means_lr_final / cfg.means_lr_init,
+    )
+    pose_sched = optax.exponential_decay(
+        init_value=cfg.pose_lr_init,
+        transition_steps=cfg.max_steps,
+        decay_rate=cfg.pose_lr_final / cfg.pose_lr_init,
+    )
+    adam = lambda lr: optax.adam(lr, b1=0.9, b2=0.999, eps=1e-15)
+    groups = {
+        "means": adam(means_sched),
+        "quats": adam(cfg.quats_lr),
+        "scales": adam(cfg.scales_lr),
+        "opacities": adam(cfg.opacities_lr),
+        "sh_dc": adam(cfg.sh_dc_lr),
+        "sh_rest": adam(cfg.sh_dc_lr / cfg.sh_rest_lr_div),
+        "pose": adam(pose_sched),
+        "exposure": adam(cfg.exposure_lr),
+        "crf": adam(cfg.crf_lr),
+        "frozen": optax.set_to_zero(),
+    }
+    return optax.multi_transform(groups, _label_tree)
+
+
+def zero_state_at(opt_state, param_path: str, mask: jnp.ndarray):
+    """Zero Adam moments at masked Gaussian slots after clone/split/prune
+    (the lineage's 'optimizer state surgery', SURVEY.md C9) — applied to
+    every state leaf whose leading dim matches the Gaussian capacity."""
+
+    def visit(leaf):
+        if (
+            isinstance(leaf, jnp.ndarray)
+            and leaf.ndim >= 1
+            and leaf.shape[0] == mask.shape[0]
+            and jnp.issubdtype(leaf.dtype, jnp.floating)
+        ):
+            shaped = mask.reshape((-1,) + (1,) * (leaf.ndim - 1))
+            return jnp.where(shaped, 0.0, leaf)
+        return leaf
+
+    del param_path  # uniform over gaussian-capacity leaves
+    return jax.tree.map(visit, opt_state)

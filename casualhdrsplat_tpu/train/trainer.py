@@ -1,0 +1,231 @@
+"""Training orchestration (SURVEY.md C18, §3.1).
+
+One jitted `train_step` spans the full differentiable chain — virtual-pose
+spline sampling, HDR rasterization of all n virtual views in one launch,
+CRF tone-mapping, blur synthesis, photometric + prior losses, per-group
+Adam — so each iteration is a single device program (no per-virtual-view
+Python loop, unlike the reference lineage's per-launch CUDA boundary at
+every C1-C5 call, SURVEY.md §3.1).  ADC runs as a second jitted program on
+its interval.  The screen-space gradient statistics ADC needs are taken
+from the `means2d_offset` gradient tap (a zeros input added to projected
+means, so autodiff surfaces d loss / d means2d without any bookkeeping in
+the rasterizer).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from casualhdrsplat_tpu.config import TrainConfig
+from casualhdrsplat_tpu.data.dataset import Dataset, load_dataset
+from casualhdrsplat_tpu.models import crf as crf_mod
+from casualhdrsplat_tpu.models import image_formation as imf
+from casualhdrsplat_tpu.models import losses
+from casualhdrsplat_tpu.train import checkpoint as ckpt_mod
+from casualhdrsplat_tpu.train import densify as densify_mod
+from casualhdrsplat_tpu.train import metrics as metrics_mod
+from casualhdrsplat_tpu.train import optim as optim_mod
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, dataset: Optional[Dataset] = None):
+        self.cfg = cfg
+        self.dataset = dataset if dataset is not None else load_dataset(cfg.data)
+        self.dataset.split(cfg.data.eval_every)
+        self.scene = imf.build_scene(self.dataset, cfg.model)
+        self.scene_extent = self.dataset.scene_extent()
+        self.params = imf.init_params(
+            self.scene,
+            self.dataset.points_xyz,
+            self.dataset.points_rgb,
+            cfg.model,
+            jax.random.PRNGKey(cfg.seed),
+        )
+        self.opt = optim_mod.make_optimizer(cfg.optim, self.scene_extent)
+        self.opt_state = self.opt.init(self.params)
+        self.adc = densify_mod.AdcState.zero(cfg.model.max_gaussians)
+        self.images = jnp.asarray(self.dataset.images)
+        self.step = 0
+        self.key = jax.random.PRNGKey(cfg.seed + 1)
+        self._rng = np.random.default_rng(cfg.seed + 2)
+        self.logger: Optional[metrics_mod.MetricsLogger] = None
+        self._image_diag = float(np.hypot(self.dataset.width, self.dataset.height))
+
+    # -- jitted programs ---------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self", "sh_degree"))
+    def _train_step(self, params, opt_state, images, frame_id, sh_degree):
+        # `images` is an explicit device-resident arg (NOT read off `self`)
+        # so the frame stack is not baked into the executable as a constant.
+        cfg = self.cfg
+        target = images[frame_id]
+        offset = jnp.zeros((cfg.model.max_gaussians, 2))
+
+        def loss_fn(p, off):
+            out = imf.render_frame(
+                p, self.scene, frame_id, cfg.model,
+                sh_degree=sh_degree, means2d_offset=off,
+            )
+            photo = losses.photometric(
+                out.blurred_ldr, target, cfg.loss.ssim_lambda
+            )
+            loss = photo
+            if cfg.model.optimize_exposure:
+                loss = loss + cfg.loss.exposure_prior_weight * losses.exposure_prior(
+                    p["log_exposures"], jnp.zeros_like(p["log_exposures"])
+                )
+            if cfg.model.crf.kind == "mlp":
+                loss = loss + cfg.loss.crf_smoothness_weight * crf_mod.smoothness_prior(
+                    p["crf"], cfg.model.crf
+                )
+            aux = {
+                "photo": photo,
+                "psnr": losses.psnr(out.blurred_ldr, target),
+                "radii": out.aux.radii,
+                "num_dropped": out.aux.num_dropped,
+            }
+            return loss, aux
+
+        (loss, aux), (grads, g2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True, allow_int=True
+        )(params, offset)
+        updates, opt_state = self.opt.update(grads, opt_state, params)
+        params = jax.tree.map(
+            lambda p, u: p + u if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            params,
+            updates,
+        )
+        return params, opt_state, loss, aux, g2d
+
+    @functools.partial(jax.jit, static_argnames=("self", "screen_prune"))
+    def _densify(self, params, opt_state, adc, key, screen_prune):
+        gauss, opt_state, adc, report = densify_mod.densify_and_prune(
+            params["gaussians"], opt_state, adc, key,
+            self.cfg.densify, self.scene_extent, self._image_diag,
+            screen_prune=screen_prune,
+        )
+        params = dict(params, gaussians=gauss)
+        return params, opt_state, adc, report
+
+    # -- loop --------------------------------------------------------------
+
+    def active_sh_degree(self) -> int:
+        if not self.cfg.densify.enabled:
+            return self.cfg.model.sh_degree
+        return min(
+            self.step // self.cfg.densify.sh_degree_interval,
+            self.cfg.model.sh_degree,
+        )
+
+    def run_step(self) -> Dict[str, float]:
+        frame = int(self._rng.choice(self.dataset.train_indices))
+        self.params, self.opt_state, loss, aux, g2d = self._train_step(
+            self.params, self.opt_state, self.images, jnp.asarray(frame),
+            self.active_sh_degree(),
+        )
+        self.adc = densify_mod.accumulate(self.adc, g2d, aux["radii"])
+        self.step += 1
+        d = self.cfg.densify
+        if (
+            d.enabled
+            and d.start_iter <= self.step <= d.stop_iter
+            and self.step % d.interval == 0
+        ):
+            self.key, sub = jax.random.split(self.key)
+            self.params, self.opt_state, self.adc, report = self._densify(
+                self.params, self.opt_state, self.adc, sub,
+                self.step > d.opacity_reset_interval,
+            )
+        else:
+            report = None
+        if d.enabled and self.step % d.opacity_reset_interval == 0:
+            self.params = dict(
+                self.params,
+                gaussians=densify_mod.reset_opacity(self.params["gaussians"]),
+            )
+        out = {"loss": float(loss), "psnr": float(aux["psnr"])}
+        if report is not None:
+            out.update(
+                cloned=int(report.num_cloned),
+                split=int(report.num_split),
+                pruned=int(report.num_pruned),
+                alive=int(report.num_alive),
+            )
+        return out
+
+    def train(self) -> Dict[str, float]:
+        cfg = self.cfg
+        out_dir = os.path.join(cfg.out_dir, cfg.name)
+        self.logger = self.logger or metrics_mod.MetricsLogger(out_dir)
+        timer = metrics_mod.Timer()
+        last: Dict[str, float] = {}
+        while self.step < cfg.optim.max_steps:
+            last = self.run_step()
+            if self.step % cfg.log_every == 0:
+                dt = timer.lap()
+                mpix = (
+                    cfg.log_every
+                    * self.dataset.width
+                    * self.dataset.height
+                    * cfg.model.num_virtual_views
+                    / max(dt, 1e-9)
+                    / 1e6
+                )
+                self.logger.log(self.step, mpix_s=mpix, **last)
+            if cfg.eval_every and self.step % cfg.eval_every == 0:
+                self.logger.log(self.step, **self.evaluate())
+            if cfg.checkpoint_every and self.step % cfg.checkpoint_every == 0:
+                self.save(out_dir)
+        self.save(out_dir)
+        return last
+
+    # -- eval / io ---------------------------------------------------------
+
+    def evaluate(self, indices=None) -> Dict[str, float]:
+        """PSNR/SSIM of the synthesized blurred frames vs held-out captures
+        (plus deblurred-render stats on synthetic data where GT exists)."""
+        idx = indices if indices is not None else self.dataset.eval_indices
+        if len(idx) == 0:
+            idx = self.dataset.train_indices[:2]
+        psnrs, ssims = [], []
+        for i in idx:
+            out = imf.render_frame(
+                self.params, self.scene, jnp.asarray(int(i)), self.cfg.model,
+                sh_degree=self.active_sh_degree(),
+            )
+            target = self.images[int(i)]
+            psnrs.append(float(losses.psnr(out.blurred_ldr, target)))
+            ssims.append(float(losses.ssim(out.blurred_ldr, target)))
+        return {"eval_psnr": float(np.mean(psnrs)), "eval_ssim": float(np.mean(ssims))}
+
+    def save(self, out_dir: str) -> str:
+        path = os.path.join(os.path.abspath(out_dir), f"step_{self.step}")
+        ckpt_mod.save(
+            path,
+            {
+                "params": self.params,
+                "opt_state": self.opt_state,
+                "adc": self.adc._asdict(),
+                "step": self.step,
+            },
+        )
+        return path
+
+    def load(self, path: str) -> None:
+        template = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "adc": self.adc._asdict(),
+            "step": self.step,
+        }
+        payload = ckpt_mod.restore(path, template)
+        self.params = payload["params"]
+        self.opt_state = payload["opt_state"]
+        self.adc = densify_mod.AdcState(**payload["adc"])
+        self.step = int(payload["step"])

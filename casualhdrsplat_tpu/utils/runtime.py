@@ -27,6 +27,9 @@ _done = {"cache": False, "warm": False}
 def setup_cache(cache_dir: str = DEFAULT_CACHE_DIR) -> None:
     if _done["cache"]:
         return
+    if os.environ.get("CHS_FORCE_CPU"):
+        # the axon plugin ignores JAX_PLATFORMS=cpu; honor an explicit ask
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,167 @@
+"""Adaptive density control tests (SURVEY.md C9) on the fixed-capacity
+masked store."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from casualhdrsplat_tpu.config import DensifyConfig, OptimConfig
+from casualhdrsplat_tpu.models import gaussians as gauss_mod
+from casualhdrsplat_tpu.train import densify, optim
+
+
+def make_store(n_alive=10, cap=32, rng=None):
+    rng = rng or np.random.default_rng(0)
+    xyz = rng.normal(size=(n_alive, 3))
+    rgb = rng.uniform(size=(n_alive, 3))
+    return gauss_mod.create(xyz, rgb, cap, sh_degree=1)
+
+
+def full_params(gauss):
+    return {
+        "gaussians": gauss,
+        "knot_deltas": jnp.zeros((4, 6)),
+        "log_exposures": jnp.zeros((2,)),
+        "crf": {},
+    }
+
+
+def run_adc(gauss, adc, cfg=None, key=None):
+    cfg = cfg or DensifyConfig()
+    params = full_params(gauss)
+    opt = optim.make_optimizer(OptimConfig())
+    opt_state = opt.init(params)
+    key = key or jax.random.PRNGKey(0)
+    return densify.densify_and_prune(
+        gauss, opt_state, adc, key, cfg, scene_extent=1.0, image_diag=100.0,
+        screen_prune=True,
+    )
+
+
+def test_clone_small_high_grad():
+    gauss = make_store()
+    cap = gauss["alive"].shape[0]
+    adc = densify.AdcState(
+        grad_accum=jnp.zeros(cap).at[3].set(1.0),
+        count=jnp.ones(cap, jnp.int32),
+        max_radii=jnp.ones(cap) * 5.0,
+    )
+    # gaussian 3 small (scale < 0.01 * extent)
+    gauss["log_scales"] = gauss["log_scales"].at[3].set(jnp.log(0.001))
+    out, _, adc2, report = run_adc(gauss, adc)
+    assert int(report.num_cloned) == 1
+    assert int(report.num_split) == 0
+    assert int(jnp.sum(out["alive"])) == 11
+    # clone copies the parent params into a previously-dead slot
+    new_slot = int(jnp.argmax(out["alive"][10:])) + 10
+    np.testing.assert_allclose(out["means"][new_slot], out["means"][3])
+    assert float(adc2.grad_accum.max()) == 0.0  # stats reset
+
+
+def test_split_large_high_grad():
+    gauss = make_store()
+    cap = gauss["alive"].shape[0]
+    adc = densify.AdcState(
+        grad_accum=jnp.zeros(cap).at[5].set(1.0),
+        count=jnp.ones(cap, jnp.int32),
+        max_radii=jnp.ones(cap) * 5.0,
+    )
+    gauss["log_scales"] = gauss["log_scales"].at[5].set(jnp.log(0.5))  # large
+    before_scale = float(jnp.exp(gauss["log_scales"][5]).max())
+    out, _, _, report = run_adc(gauss, adc)
+    assert int(report.num_split) == 1
+    assert int(jnp.sum(out["alive"])) == 11
+    after_scale = float(jnp.exp(out["log_scales"][5]).max())
+    np.testing.assert_allclose(after_scale, before_scale / 1.6, rtol=1e-5)
+
+
+def test_prune_low_opacity_and_oversized():
+    gauss = make_store()
+    cap = gauss["alive"].shape[0]
+    gauss["opacity_logit"] = gauss["opacity_logit"].at[2].set(-10.0)  # ~0 opacity
+    adc = densify.AdcState(
+        grad_accum=jnp.zeros(cap),
+        count=jnp.ones(cap, jnp.int32),
+        max_radii=jnp.zeros(cap).at[7].set(50.0),  # 50 > 0.15*100
+    )
+    out, _, _, report = run_adc(gauss, adc)
+    assert int(report.num_pruned) == 2
+    assert not bool(out["alive"][2])
+    assert not bool(out["alive"][7])
+    assert int(jnp.sum(out["alive"])) == 8
+
+
+def test_capacity_exhaustion_graceful():
+    gauss = make_store(n_alive=30, cap=32)
+    cap = 32
+    adc = densify.AdcState(
+        grad_accum=jnp.ones(cap) * 1.0,  # everyone wants to clone
+        count=jnp.ones(cap, jnp.int32),
+        max_radii=jnp.ones(cap) * 5.0,
+    )
+    out, _, _, report = run_adc(gauss, adc)
+    assert int(jnp.sum(out["alive"])) == 32  # grants capped at free slots
+    assert int(report.num_cloned) + int(report.num_split) == 2
+
+
+def test_optimizer_state_zeroed():
+    gauss = make_store()
+    cap = gauss["alive"].shape[0]
+    params = full_params(gauss)
+    opt = optim.make_optimizer(OptimConfig())
+    opt_state = opt.init(params)
+    # fake nonzero moments
+    opt_state = jax.tree.map(
+        lambda l: l + 1.0
+        if isinstance(l, jnp.ndarray) and jnp.issubdtype(l.dtype, jnp.floating)
+        else l,
+        opt_state,
+    )
+    adc = densify.AdcState(
+        grad_accum=jnp.zeros(cap).at[3].set(1.0),
+        count=jnp.ones(cap, jnp.int32),
+        max_radii=jnp.ones(cap) * 5.0,
+    )
+    gauss["log_scales"] = gauss["log_scales"].at[3].set(jnp.log(0.001))
+    out, new_state, _, report = densify.densify_and_prune(
+        gauss, opt_state, adc, jax.random.PRNGKey(0), DensifyConfig(),
+        scene_extent=1.0, image_diag=100.0,
+    )
+    new_slot = int(jnp.argmax(out["alive"][10:])) + 10
+    leaves = [
+        l
+        for l in jax.tree.leaves(new_state)
+        if isinstance(l, jnp.ndarray) and l.ndim >= 1 and l.shape[0] == cap
+        and jnp.issubdtype(l.dtype, jnp.floating)
+    ]
+    assert leaves, "no gaussian-capacity optimizer state found"
+    for l in leaves:
+        assert float(jnp.abs(l[new_slot]).max()) == 0.0
+
+
+def test_reset_opacity():
+    gauss = make_store()
+    out = densify.reset_opacity(gauss, 0.01)
+    opac = jax.nn.sigmoid(out["opacity_logit"])
+    assert float(opac[gauss["alive"]].max()) <= 0.0101
+
+
+def test_jittable():
+    gauss = make_store()
+    cap = gauss["alive"].shape[0]
+    adc = densify.AdcState(
+        grad_accum=jnp.ones(cap),
+        count=jnp.ones(cap, jnp.int32),
+        max_radii=jnp.ones(cap) * 5.0,
+    )
+    params = full_params(gauss)
+    opt = optim.make_optimizer(OptimConfig())
+    opt_state = opt.init(params)
+    cfg = DensifyConfig()
+
+    @jax.jit
+    def f(g, s, a, k):
+        return densify.densify_and_prune(g, s, a, k, cfg, 1.0, 100.0)
+
+    out, *_ = f(gauss, opt_state, adc, jax.random.PRNGKey(1))
+    assert int(jnp.sum(out["alive"])) >= 10
