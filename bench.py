@@ -1,0 +1,116 @@
+"""Headline benchmark: rendered Mpix/s/chip, forward+backward.
+
+Measures the full differentiable CasualHDRSplat image-formation chain
+(projection -> tile binning -> Pallas compositing -> CRF -> blur -> loss,
+then the hand-written backward to every parameter group) on one chip and
+reports megapixels rendered per second (BASELINE.md metric
+"Rendered Mpix/s/chip, forward+backward").
+
+vs_baseline: the reference snapshot publishes no numbers
+(BASELINE.json "published": {}); the denominator is the lineage speed
+context from SURVEY.md §6 — 3DGS-class training is ~30k iterations of a
+~0.64 Mpix render in <=1 h on an RTX-class GPU, i.e. ~10 Mpix/s
+forward+backward — so vs_baseline = value / 10.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def build(n_gaussians=100_000, size=800, n_virtual=4):
+    import jax
+    import jax.numpy as jnp
+
+    from casualhdrsplat_tpu.config import CRFConfig, ModelConfig, RasterizeConfig
+    from casualhdrsplat_tpu.data import synthetic
+    from casualhdrsplat_tpu.geometry import spline
+    from casualhdrsplat_tpu.models import crf as crf_mod
+    from casualhdrsplat_tpu.models import gaussians as gauss_mod
+    from casualhdrsplat_tpu.models import losses
+    from casualhdrsplat_tpu.ops import rasterize as rast
+
+    rng = np.random.default_rng(0)
+    cloud = synthetic.random_cloud(rng, n_gaussians, scale_range=(0.004, 0.02))
+    cam = synthetic.orbit_camera(0.0, width=size, img_height=size)
+    knots = synthetic.orbit_knots(6, angle_span=0.12, width=size, img_height=size)
+    t_k = spline.sample_virtual_times(1.0, 0.6, n_virtual)
+    viewmats = spline.cubic_bspline_interpolation(knots, -2.0, 1.0, t_k)
+
+    cfg = RasterizeConfig(
+        tile_h=16, tile_w=16, tile_capacity=1024, max_tiles_per_gaussian=32,
+        chunk=128, backend="auto",
+    )
+    crf_cfg = CRFConfig(kind="mlp")
+    crf_params = crf_mod.create(crf_cfg)
+    target = jnp.asarray(rng.uniform(size=(size, size, 3)), jnp.float32)
+
+    import jax
+
+    @jax.jit
+    def step(means, log_scales, opacity_logit, colors, crf_p, log_dt):
+        def loss_fn(means, log_scales, opacity_logit, colors, crf_p, log_dt):
+            hdr, alphas, aux = rast.rasterize(
+                means, cloud.quats, jnp.exp(log_scales),
+                jax.nn.sigmoid(opacity_logit), colors, viewmats,
+                cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height, cfg,
+            )
+            ldr = crf_mod.apply(crf_p, hdr * jnp.exp(log_dt), crf_cfg)
+            blurred = jnp.mean(ldr, axis=0)
+            return losses.photometric(blurred, target, 0.2)
+
+        l, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5))(
+            means, log_scales, opacity_logit, colors, crf_p, log_dt
+        )
+        return l, grads
+
+    args = (
+        cloud.means3d,
+        jnp.log(cloud.scales),
+        jnp.log(cloud.opacities / (1 - cloud.opacities)),
+        cloud.colors,
+        crf_params,
+        jnp.asarray(0.0),
+    )
+    return step, args, size * size * n_virtual
+
+
+def main():
+    import jax
+
+    from casualhdrsplat_tpu.utils import runtime
+
+    runtime.setup()
+    step, args, pixels = build()
+
+    l, grads = step(*args)  # compile
+    jax.block_until_ready(grads)
+    assert np.isfinite(float(l)), float(l)
+
+    n_iter = 20
+    t0 = time.time()
+    for _ in range(n_iter):
+        l, grads = step(*args)
+    jax.block_until_ready(grads)
+    dt = (time.time() - t0) / n_iter
+
+    mpix_s = pixels / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "rendered Mpix/s/chip fwd+bwd",
+                "value": round(mpix_s, 3),
+                "unit": "Mpix/s",
+                "vs_baseline": round(mpix_s / 10.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

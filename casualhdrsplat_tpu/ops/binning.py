@@ -60,13 +60,31 @@ def assign_tiles(
     capacity: int,
     max_tiles_per_gaussian: int,
 ) -> TileLists:
-    n = proj.means2d.shape[0]
+    return assign_tiles_arrays(
+        proj.means2d, proj.radii, proj.depths, proj.valid,
+        width, height, tile_h, tile_w, capacity, max_tiles_per_gaussian,
+    )
+
+
+def assign_tiles_arrays(
+    means2d: jnp.ndarray,
+    radii: jnp.ndarray,
+    depths: jnp.ndarray,
+    valid: jnp.ndarray,
+    width: int,
+    height: int,
+    tile_h: int,
+    tile_w: int,
+    capacity: int,
+    max_tiles_per_gaussian: int,
+) -> TileLists:
+    n = means2d.shape[0]
     ntx, nty = tile_grid(width, height, tile_h, tile_w)
     num_tiles = ntx * nty
     mtpg = max_tiles_per_gaussian
 
-    mx, my = proj.means2d[:, 0], proj.means2d[:, 1]
-    r = proj.radii
+    mx, my = means2d[:, 0], means2d[:, 1]
+    r = radii
     tx0 = jnp.clip(jnp.floor((mx - r) / tile_w).astype(jnp.int32), 0, ntx - 1)
     tx1 = jnp.clip(jnp.floor((mx + r) / tile_w).astype(jnp.int32), 0, ntx - 1)
     ty0 = jnp.clip(jnp.floor((my - r) / tile_h).astype(jnp.int32), 0, nty - 1)
@@ -78,7 +96,7 @@ def assign_tiles(
     slots = jnp.arange(mtpg, dtype=jnp.int32)  # [mtpg]
     row = slots[None, :] // w_span[:, None]  # [N, mtpg]
     col = slots[None, :] % w_span[:, None]
-    in_bbox = (row < h_span[:, None]) & proj.valid[:, None]
+    in_bbox = (row < h_span[:, None]) & valid[:, None]
     tile_ids = jnp.where(
         in_bbox, (ty0[:, None] + row) * ntx + tx0[:, None] + col, num_tiles
     ).astype(jnp.int32)
@@ -86,7 +104,7 @@ def assign_tiles(
     gauss_ids = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, mtpg)
     )
-    depths = jnp.broadcast_to(proj.depths[:, None], (n, mtpg)).astype(jnp.float32)
+    depths = jnp.broadcast_to(depths[:, None], (n, mtpg)).astype(jnp.float32)
 
     flat_tiles = tile_ids.reshape(-1)
     flat_depths = depths.reshape(-1)
@@ -123,17 +141,32 @@ def build_payload(
 ) -> jnp.ndarray:
     """Pack the per-Gaussian screen packet into [N + 1, 16] (row N = zero
     padding row targeted by unused table slots)."""
-    n = proj.means2d.shape[0]
     opa = jnp.where(proj.valid, opacities * proj.compensation, 0.0)
-    payload = jnp.zeros((n + 1, PAYLOAD_DIM), dtype=jnp.float32)
-    payload = payload.at[:n, COL_MX].set(proj.means2d[:, 0])
-    payload = payload.at[:n, COL_MY].set(proj.means2d[:, 1])
-    payload = payload.at[:n, COL_CXX].set(proj.conics[:, 0])
-    payload = payload.at[:n, COL_CXY].set(proj.conics[:, 1])
-    payload = payload.at[:n, COL_CYY].set(proj.conics[:, 2])
-    payload = payload.at[:n, COL_OPA].set(opa)
-    payload = payload.at[:n, COL_R : COL_B + 1].set(colors)
-    payload = payload.at[:n, COL_ONE].set(1.0)
+    rows = build_payload_rows(proj.means2d, proj.conics, opa, colors)
+    return jnp.concatenate(
+        [rows, jnp.zeros((1, PAYLOAD_DIM), jnp.float32)], axis=0
+    )
+
+
+def build_payload_rows(
+    means2d: jnp.ndarray,
+    conics: jnp.ndarray,
+    opacity_eff: jnp.ndarray,
+    colors: jnp.ndarray,
+) -> jnp.ndarray:
+    """[N, 16] packet rows WITHOUT the padding row — the all-gather payload
+    of the Gaussian-sharded path (SURVEY.md P2), which appends its own pad
+    row after gathering shards."""
+    n = means2d.shape[0]
+    payload = jnp.zeros((n, PAYLOAD_DIM), dtype=jnp.float32)
+    payload = payload.at[:, COL_MX].set(means2d[:, 0])
+    payload = payload.at[:, COL_MY].set(means2d[:, 1])
+    payload = payload.at[:, COL_CXX].set(conics[:, 0])
+    payload = payload.at[:, COL_CXY].set(conics[:, 1])
+    payload = payload.at[:, COL_CYY].set(conics[:, 2])
+    payload = payload.at[:, COL_OPA].set(opacity_eff)
+    payload = payload.at[:, COL_R : COL_B + 1].set(colors)
+    payload = payload.at[:, COL_ONE].set(1.0)
     return payload
 
 

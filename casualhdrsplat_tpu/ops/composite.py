@@ -185,7 +185,9 @@ def _tile_origin(tile_index, statics: CompositeStatics):
     return ox, oy
 
 
-def _forward_xla(gathered: jnp.ndarray, statics: CompositeStatics) -> jnp.ndarray:
+def _forward_xla(
+    gathered: jnp.ndarray, tile_indices: jnp.ndarray, statics: CompositeStatics
+) -> jnp.ndarray:
     tt, cap, _ = gathered.shape
     g = statics.chunk
     p = statics.tile_h * statics.tile_w
@@ -201,14 +203,18 @@ def _forward_xla(gathered: jnp.ndarray, statics: CompositeStatics) -> jnp.ndarra
             )
             return t_out, contrib
 
-        t_fin, contribs = jax.lax.scan(body, jnp.ones((1, p)), chunks)
+        # carry derived from the payload so its type (incl. shard_map
+        # varying-manual-axes) matches the body output
+        t_init = jnp.ones((1, p)) + 0.0 * payload[0, 0]
+        t_fin, contribs = jax.lax.scan(body, t_init, chunks)
         return contribs.sum(axis=0)  # (4,P)
 
-    return jax.vmap(tile_fn)(gathered, jnp.arange(tt, dtype=jnp.int32))
+    return jax.vmap(tile_fn)(gathered, tile_indices)
 
 
 def _backward_xla(
     gathered: jnp.ndarray,
+    tile_indices: jnp.ndarray,
     out4: jnp.ndarray,
     g4: jnp.ndarray,
     statics: CompositeStatics,
@@ -230,14 +236,12 @@ def _backward_xla(
             )
             return (t_out, prefix4_out), d_chunk
 
-        (_, _), d_chunks = jax.lax.scan(
-            body, (jnp.ones((1, p)), jnp.zeros((4, p))), chunks
-        )
+        t_init = jnp.ones((1, p)) + 0.0 * payload[0, 0]
+        p4_init = jnp.zeros((4, p)) + 0.0 * payload[0, 0]
+        (_, _), d_chunks = jax.lax.scan(body, (t_init, p4_init), chunks)
         return d_chunks.reshape(cap, binning.PAYLOAD_DIM)
 
-    return jax.vmap(tile_fn)(
-        gathered, out4, g4, jnp.arange(tt, dtype=jnp.int32)
-    )
+    return jax.vmap(tile_fn)(gathered, out4, g4, tile_indices)
 
 
 # --------------------------------------------------------------------------
@@ -248,46 +252,54 @@ def _backward_xla(
 @functools.lru_cache(maxsize=None)
 def _make_composite(statics: CompositeStatics):
     @jax.custom_vjp
-    def composite(gathered):
-        return _dispatch_fwd(gathered, statics)
+    def composite(gathered, tile_indices):
+        return _dispatch_fwd(gathered, tile_indices, statics)
 
-    def fwd(gathered):
-        out4 = _dispatch_fwd(gathered, statics)
-        return out4, (gathered, out4)
+    def fwd(gathered, tile_indices):
+        out4 = _dispatch_fwd(gathered, tile_indices, statics)
+        return out4, (gathered, tile_indices, out4)
 
     def bwd(res, g4):
-        gathered, out4 = res
-        return (_dispatch_bwd(gathered, out4, g4, statics),)
+        gathered, tile_indices, out4 = res
+        return (_dispatch_bwd(gathered, tile_indices, out4, g4, statics), None)
 
     composite.defvjp(fwd, bwd)
     return composite
 
 
-def _dispatch_fwd(gathered, statics):
+def _dispatch_fwd(gathered, tile_indices, statics):
     if statics.backend == "pallas":
         from casualhdrsplat_tpu.ops import rasterize_pallas
 
-        return rasterize_pallas.forward(gathered, statics)
-    return _forward_xla(gathered, statics)
+        return rasterize_pallas.forward(gathered, tile_indices, statics)
+    return _forward_xla(gathered, tile_indices, statics)
 
 
-def _dispatch_bwd(gathered, out4, g4, statics):
+def _dispatch_bwd(gathered, tile_indices, out4, g4, statics):
     if statics.backend == "pallas":
         from casualhdrsplat_tpu.ops import rasterize_pallas
 
-        return rasterize_pallas.backward(gathered, out4, g4, statics)
-    return _backward_xla(gathered, out4, g4, statics)
+        return rasterize_pallas.backward(gathered, tile_indices, out4, g4, statics)
+    return _backward_xla(gathered, tile_indices, out4, g4, statics)
 
 
-def composite_tiles(gathered: jnp.ndarray, statics: CompositeStatics) -> jnp.ndarray:
+def composite_tiles(
+    gathered: jnp.ndarray,
+    statics: CompositeStatics,
+    tile_indices: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Composite depth-ordered per-tile Gaussian lists.
 
     Args:
-      gathered: [num_views * tiles_per_view, capacity, 16] payload table
+      gathered: [num_tiles_total, capacity, 16] payload table
         (binning.gather_payload output, row-major tiles per view).
       statics: CompositeStatics (hashable; selects backend).
+      tile_indices: [num_tiles_total] int32 GLOBAL tile index of each
+        entry (origin = index % (ntx*nty) in row-major tile grid); default
+        arange — callers compositing a device-local slice of tiles (the
+        Gaussian-sharded path) pass their offset indices here.
 
-    Returns: [num_views * tiles_per_view, 4, tile_h * tile_w]: RGB radiance
+    Returns: [num_tiles_total, 4, tile_h * tile_w]: RGB radiance
     + accumulated alpha per pixel.  Differentiable w.r.t. `gathered` via the
     hand-written backward.
     """
@@ -295,4 +307,6 @@ def composite_tiles(gathered: jnp.ndarray, statics: CompositeStatics) -> jnp.nda
         raise ValueError(
             f"capacity {gathered.shape[1]} must be a multiple of chunk {statics.chunk}"
         )
-    return _make_composite(statics)(gathered)
+    if tile_indices is None:
+        tile_indices = jnp.arange(gathered.shape[0], dtype=jnp.int32)
+    return _make_composite(statics)(gathered, tile_indices)

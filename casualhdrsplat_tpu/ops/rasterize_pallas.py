@@ -68,11 +68,11 @@ def _pixel_coords(tile_index, statics: CompositeStatics):
 # --------------------------------------------------------------------------
 
 
-def _fwd_kernel(payload_ref, out_ref, *, statics: CompositeStatics, cap: int):
+def _fwd_kernel(tile_idx_ref, payload_ref, out_ref, *, statics: CompositeStatics, cap: int):
     g = statics.chunk
     p = statics.tile_h * statics.tile_w
     n_chunks = cap // g
-    px, py = _pixel_coords(pl.program_id(0), statics)
+    px, py = _pixel_coords(tile_idx_ref[pl.program_id(0)], statics)
     l_strict = _tri_strict(g)
 
     def cond(state):
@@ -101,18 +101,26 @@ def _fwd_kernel(payload_ref, out_ref, *, statics: CompositeStatics, cap: int):
     out_ref[0] = acc
 
 
-def forward(gathered: jnp.ndarray, statics: CompositeStatics) -> jnp.ndarray:
+def forward(
+    gathered: jnp.ndarray, tile_indices: jnp.ndarray, statics: CompositeStatics
+) -> jnp.ndarray:
     tt, cap, pd = gathered.shape
     p = statics.tile_h * statics.tile_w
     kernel = functools.partial(_fwd_kernel, statics=statics, cap=cap)
     flops_per_tile = cap * (statics.chunk * p * 2 + p * 30)
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(tt,),
         in_specs=[
-            pl.BlockSpec((1, cap, pd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, cap, pd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((1, 4, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((tt, 4, p), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=tt * flops_per_tile,
@@ -120,7 +128,7 @@ def forward(gathered: jnp.ndarray, statics: CompositeStatics) -> jnp.ndarray:
             transcendentals=tt * cap * p,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(gathered)
+    )(tile_indices, gathered)
 
 
 # --------------------------------------------------------------------------
@@ -129,12 +137,13 @@ def forward(gathered: jnp.ndarray, statics: CompositeStatics) -> jnp.ndarray:
 
 
 def _bwd_kernel(
-    payload_ref, out4_ref, g4_ref, d_ref, *, statics: CompositeStatics, cap: int
+    tile_idx_ref, payload_ref, out4_ref, g4_ref, d_ref, *,
+    statics: CompositeStatics, cap: int,
 ):
     g = statics.chunk
     p = statics.tile_h * statics.tile_w
     n_chunks = cap // g
-    px, py = _pixel_coords(pl.program_id(0), statics)
+    px, py = _pixel_coords(tile_idx_ref[pl.program_id(0)], statics)
     l_strict = _tri_strict(g)
     l_incl = l_strict + jnp.eye(g, dtype=jnp.float32)
 
@@ -206,6 +215,7 @@ def _bwd_kernel(
 
 def backward(
     gathered: jnp.ndarray,
+    tile_indices: jnp.ndarray,
     out4: jnp.ndarray,
     g4: jnp.ndarray,
     statics: CompositeStatics,
@@ -214,17 +224,21 @@ def backward(
     p = statics.tile_h * statics.tile_w
     kernel = functools.partial(_bwd_kernel, statics=statics, cap=cap)
     flops_per_tile = cap * (statics.chunk * p * 12 + p * 80)
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(tt,),
         in_specs=[
-            pl.BlockSpec((1, cap, pd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cap, pd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, cap, pd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, cap, pd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((tt, cap, pd), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=tt * flops_per_tile,
@@ -232,4 +246,4 @@ def backward(
             transcendentals=2 * tt * cap * p,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(gathered, out4, g4)
+    )(tile_indices, gathered, out4, g4)
