@@ -89,14 +89,19 @@ def main():
     step, args, pixels = build()
 
     l, grads = step(*args)  # compile
-    jax.block_until_ready(grads)
-    assert np.isfinite(float(l)), float(l)
+    assert np.isfinite(float(l)), float(l)  # host readback = real sync
 
+    # NOTE: jax.block_until_ready does not reliably block on the axon
+    # backend (measured: returns in 0.04 ms while the computation runs for
+    # seconds).  Chain losses on device and read ONE scalar back at the
+    # end — the data dependency forces every step to complete.
     n_iter = 20
     t0 = time.time()
+    acc = 0.0
     for _ in range(n_iter):
         l, grads = step(*args)
-    jax.block_until_ready(grads)
+        acc = acc + l
+    assert np.isfinite(float(acc))
     dt = (time.time() - t0) / n_iter
 
     mpix_s = pixels / dt / 1e6

@@ -23,6 +23,12 @@ class RasterizeConfig:
     max_tiles_per_gaussian: int = 32
     # Gaussians processed per inner chunk in the Pallas kernel.
     chunk: int = 128
+    # Packed streaming compositor (zero-waste chunk stream) vs the dense
+    # [tiles, capacity] table; packed requires the pallas backend.
+    packed: bool = True
+    # Stream budget = stream_factor * N intersection slots per view; the
+    # depth-sorted stream is truncated (and reported) beyond it.
+    stream_factor: int = 8
     near_plane: float = 0.05  # SURVEY.md hyperparameter defaults
     alpha_clip: float = 0.99
     alpha_threshold: float = 1.0 / 255.0

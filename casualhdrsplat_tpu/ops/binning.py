@@ -45,6 +45,10 @@ class TileLists(NamedTuple):
     num_dropped: jnp.ndarray  # [] int32 — overflow diagnostics
 
 
+def _ceil_log2(x: int) -> int:
+    return max(1, (x - 1).bit_length())
+
+
 def tile_grid(width: int, height: int, tile_h: int, tile_w: int):
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
@@ -66,6 +70,83 @@ def assign_tiles(
     )
 
 
+def sorted_stream(
+    means2d: jnp.ndarray,
+    radii: jnp.ndarray,
+    depths: jnp.ndarray,
+    valid: jnp.ndarray,
+    width: int,
+    height: int,
+    tile_h: int,
+    tile_w: int,
+    max_tiles_per_gaussian: int,
+):
+    """(tile, depth)-ordered intersection stream.
+
+    Returns (s_gauss [N*mtpg] int32 Gaussian ids grouped by tile in depth
+    order — invalid/sentinel pairs at the tail, starts [T+1], seg_len [T]).
+    """
+    n = means2d.shape[0]
+    ntx, nty = tile_grid(width, height, tile_h, tile_w)
+    num_tiles = ntx * nty
+    mtpg = max_tiles_per_gaussian
+
+    # Depth-presort the Gaussians (cheap: N keys, not N*mtpg), so a single
+    # STABLE sort by tile id alone finishes the (tile, depth) ordering —
+    # one packed int32 key + one payload operand instead of the 3-operand
+    # two-key sort (measured ~2x on the TPU sort, which dominates binning).
+    order = jnp.argsort(depths).astype(jnp.int32)
+    mx = means2d[order, 0]
+    my = means2d[order, 1]
+    r = radii[order]
+    valid_o = valid[order]
+
+    tx0 = jnp.clip(jnp.floor((mx - r) / tile_w).astype(jnp.int32), 0, ntx - 1)
+    tx1 = jnp.clip(jnp.floor((mx + r) / tile_w).astype(jnp.int32), 0, ntx - 1)
+    ty0 = jnp.clip(jnp.floor((my - r) / tile_h).astype(jnp.int32), 0, nty - 1)
+    ty1 = jnp.clip(jnp.floor((my + r) / tile_h).astype(jnp.int32), 0, nty - 1)
+    w_span = tx1 - tx0 + 1  # [N]
+    h_span = ty1 - ty0 + 1
+
+    # Expand: slot s covers bbox cell (s // w_span, s % w_span), row-major.
+    slots = jnp.arange(mtpg, dtype=jnp.int32)  # [mtpg]
+    row = slots[None, :] // w_span[:, None]  # [N, mtpg]
+    col = slots[None, :] % w_span[:, None]
+    in_bbox = (row < h_span[:, None]) & valid_o[:, None]
+    tile_ids = jnp.where(
+        in_bbox, (ty0[:, None] + row) * ntx + tx0[:, None] + col, num_tiles
+    ).astype(jnp.int32)
+
+    # A Gaussian's bbox cells are distinct tiles, so within one tile the
+    # depth rank alone is a unique tiebreaker -> key fits 31 bits for
+    # scenes up to ~2^(31 - tile_bits) Gaussians.
+    rank_bits = _ceil_log2(n)
+    if rank_bits + _ceil_log2(num_tiles + 1) <= 31:
+        # packed single-key path: key = tile << rank_bits | depth rank
+        depth_rank = jax.lax.broadcasted_iota(jnp.int32, (n, mtpg), 0)
+        key = (tile_ids << rank_bits) | depth_rank
+        gauss_ids = jnp.broadcast_to(order[:, None], (n, mtpg))
+        s_key, s_gauss = jax.lax.sort(
+            (key.reshape(-1), gauss_ids.reshape(-1)), num_keys=1
+        )
+        s_tiles = s_key >> rank_bits
+    else:  # huge scene fallback: two-key lexicographic sort
+        depth_rank = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (n, mtpg), 0), (n, mtpg)
+        )
+        gauss_ids = jnp.broadcast_to(order[:, None], (n, mtpg))
+        s_tiles, _, s_gauss = jax.lax.sort(
+            (tile_ids.reshape(-1), depth_rank.reshape(-1), gauss_ids.reshape(-1)),
+            num_keys=2,
+        )
+
+    starts = jnp.searchsorted(
+        s_tiles, jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    seg_len = starts[1:] - starts[:-1]
+    return s_gauss, starts, seg_len
+
+
 def assign_tiles_arrays(
     means2d: jnp.ndarray,
     radii: jnp.ndarray,
@@ -79,60 +160,85 @@ def assign_tiles_arrays(
     max_tiles_per_gaussian: int,
 ) -> TileLists:
     n = means2d.shape[0]
-    ntx, nty = tile_grid(width, height, tile_h, tile_w)
-    num_tiles = ntx * nty
-    mtpg = max_tiles_per_gaussian
-
-    mx, my = means2d[:, 0], means2d[:, 1]
-    r = radii
-    tx0 = jnp.clip(jnp.floor((mx - r) / tile_w).astype(jnp.int32), 0, ntx - 1)
-    tx1 = jnp.clip(jnp.floor((mx + r) / tile_w).astype(jnp.int32), 0, ntx - 1)
-    ty0 = jnp.clip(jnp.floor((my - r) / tile_h).astype(jnp.int32), 0, nty - 1)
-    ty1 = jnp.clip(jnp.floor((my + r) / tile_h).astype(jnp.int32), 0, nty - 1)
-    w_span = tx1 - tx0 + 1  # [N]
-    h_span = ty1 - ty0 + 1
-
-    # Expand: slot s covers bbox cell (s // w_span, s % w_span), row-major.
-    slots = jnp.arange(mtpg, dtype=jnp.int32)  # [mtpg]
-    row = slots[None, :] // w_span[:, None]  # [N, mtpg]
-    col = slots[None, :] % w_span[:, None]
-    in_bbox = (row < h_span[:, None]) & valid[:, None]
-    tile_ids = jnp.where(
-        in_bbox, (ty0[:, None] + row) * ntx + tx0[:, None] + col, num_tiles
-    ).astype(jnp.int32)
-
-    gauss_ids = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, mtpg)
+    s_gauss, starts, seg_len = sorted_stream(
+        means2d, radii, depths, valid, width, height, tile_h, tile_w,
+        max_tiles_per_gaussian,
     )
-    depths = jnp.broadcast_to(depths[:, None], (n, mtpg)).astype(jnp.float32)
-
-    flat_tiles = tile_ids.reshape(-1)
-    flat_depths = depths.reshape(-1)
-    flat_gauss = gauss_ids.reshape(-1)
-
-    # Lexicographic sort by (tile, depth) — XLA's stable sort.
-    s_tiles, s_depths, s_gauss = jax.lax.sort(
-        (flat_tiles, flat_depths, flat_gauss), num_keys=2
-    )
-
-    starts = jnp.searchsorted(s_tiles, jnp.arange(num_tiles + 1, dtype=jnp.int32))
-    seg_len = starts[1:] - starts[:-1]
     counts = jnp.minimum(seg_len, capacity).astype(jnp.int32)
     num_dropped = jnp.sum(jnp.maximum(seg_len - capacity, 0))
 
-    rank = jnp.arange(flat_tiles.shape[0], dtype=jnp.int32)
-    slot_in_tile = rank - starts[jnp.minimum(s_tiles, num_tiles)]
-    dest = jnp.where(
-        (s_tiles < num_tiles) & (slot_in_tile < capacity),
-        s_tiles * capacity + slot_in_tile,
-        num_tiles * capacity,  # out of bounds -> dropped
+    # Dense [T, capacity] table by GATHER from the sorted id stream (an
+    # XLA scatter here costs hundreds of ms on TPU; the gather is ~free).
+    k = jnp.arange(capacity, dtype=jnp.int32)
+    idx = starts[:-1, None] + k[None, :]  # [T, capacity]
+    in_seg = k[None, :] < seg_len[:, None]
+    total = s_gauss.shape[0]
+    gid = s_gauss[jnp.minimum(idx, total - 1)]
+    table = jnp.where(in_seg, gid, n)
+    return TileLists(indices=table, counts=counts, num_dropped=num_dropped)
+
+
+class StreamChunks(NamedTuple):
+    """Halo-masked streaming schedule over the depth-sorted intersection
+    stream (ops/rasterize_packed.py V2.1).
+
+    The stream itself is never re-laid-out: kernels DMA BLOCK-ALIGNED
+    windows of `stream_payload = payload[s_gauss]` directly.  A tile whose
+    segment starts/ends mid-block shares boundary blocks with neighbor
+    tiles; per-chunk (seg_lo, seg_hi) bounds let the kernel mask foreign
+    slots.  Metadata is all [C]-sized — no per-slot gathers.
+    """
+
+    block_id: jnp.ndarray  # [C] int32 stream block to DMA (index*chunk)
+    out_row: jnp.ndarray  # [C] int32 output row (tile) of the chunk
+    first: jnp.ndarray  # [C] int32 1 = first chunk of its tile
+    seg_lo: jnp.ndarray  # [C] int32 stream position where the tile starts
+    seg_hi: jnp.ndarray  # [C] int32 stream position where the tile ends
+    num_chunks: jnp.ndarray  # [] int32 real chunks (diagnostics)
+
+
+def stream_budget(n: int, mtpg: int, num_tiles: int, chunk: int) -> int:
+    """Static chunk-count bound: every stream block once + one boundary
+    block + one empty-tile chunk per tile."""
+    return n * mtpg // chunk + 2 * num_tiles + 1
+
+
+def pack_stream_chunks(
+    starts: jnp.ndarray,  # [T+1]
+    seg_len: jnp.ndarray,  # [T]
+    m: int,
+    chunk: int,
+    budget: int,
+    out_row_offset=0,
+    sentinel_row: int = 0,
+) -> StreamChunks:
+    num_tiles = seg_len.shape[0]
+    g = chunk
+    ends = starts[:-1] + seg_len
+    first_block = starts[:-1] // g
+    last_block = jnp.where(seg_len > 0, (ends - 1) // g, first_block)
+    tile_chunks = last_block - first_block + 1  # >= 1 (empty tiles get 1)
+    cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tile_chunks).astype(jnp.int32)]
     )
-    table = jnp.full((num_tiles * capacity,), n, dtype=jnp.int32)
-    table = table.at[dest].set(s_gauss, mode="drop")
-    return TileLists(
-        indices=table.reshape(num_tiles, capacity),
-        counts=counts,
-        num_dropped=num_dropped,
+    total = cum[-1]
+
+    c_ids = jnp.arange(budget, dtype=jnp.int32)
+    tile_of = jnp.searchsorted(cum, c_ids, side="right").astype(jnp.int32) - 1
+    used = c_ids < total
+    t = jnp.clip(tile_of, 0, num_tiles - 1)
+    first = jnp.where(used, c_ids == cum[t], True)
+    block = first_block[t] + (c_ids - cum[t])
+    max_block = m // g - 1
+    return StreamChunks(
+        block_id=jnp.where(used, jnp.clip(block, 0, max_block), max_block).astype(
+            jnp.int32
+        ),
+        out_row=jnp.where(used, t + out_row_offset, sentinel_row).astype(jnp.int32),
+        first=first.astype(jnp.int32),
+        seg_lo=jnp.where(used, starts[t], 0).astype(jnp.int32),
+        seg_hi=jnp.where(used, ends[t], 0).astype(jnp.int32),
+        num_chunks=total,
     )
 
 

@@ -252,34 +252,40 @@ def _backward_xla(
 @functools.lru_cache(maxsize=None)
 def _make_composite(statics: CompositeStatics):
     @jax.custom_vjp
-    def composite(gathered, tile_indices):
-        return _dispatch_fwd(gathered, tile_indices, statics)
+    def composite(gathered, tile_indices, counts):
+        return _dispatch_fwd(gathered, tile_indices, counts, statics)
 
-    def fwd(gathered, tile_indices):
-        out4 = _dispatch_fwd(gathered, tile_indices, statics)
-        return out4, (gathered, tile_indices, out4)
+    def fwd(gathered, tile_indices, counts):
+        out4 = _dispatch_fwd(gathered, tile_indices, counts, statics)
+        return out4, (gathered, tile_indices, counts, out4)
 
     def bwd(res, g4):
-        gathered, tile_indices, out4 = res
-        return (_dispatch_bwd(gathered, tile_indices, out4, g4, statics), None)
+        gathered, tile_indices, counts, out4 = res
+        return (
+            _dispatch_bwd(gathered, tile_indices, counts, out4, g4, statics),
+            None,
+            None,
+        )
 
     composite.defvjp(fwd, bwd)
     return composite
 
 
-def _dispatch_fwd(gathered, tile_indices, statics):
+def _dispatch_fwd(gathered, tile_indices, counts, statics):
     if statics.backend == "pallas":
         from casualhdrsplat_tpu.ops import rasterize_pallas
 
-        return rasterize_pallas.forward(gathered, tile_indices, statics)
+        return rasterize_pallas.forward(gathered, tile_indices, counts, statics)
     return _forward_xla(gathered, tile_indices, statics)
 
 
-def _dispatch_bwd(gathered, tile_indices, out4, g4, statics):
+def _dispatch_bwd(gathered, tile_indices, counts, out4, g4, statics):
     if statics.backend == "pallas":
         from casualhdrsplat_tpu.ops import rasterize_pallas
 
-        return rasterize_pallas.backward(gathered, tile_indices, out4, g4, statics)
+        return rasterize_pallas.backward(
+            gathered, tile_indices, counts, out4, g4, statics
+        )
     return _backward_xla(gathered, tile_indices, out4, g4, statics)
 
 
@@ -287,6 +293,7 @@ def composite_tiles(
     gathered: jnp.ndarray,
     statics: CompositeStatics,
     tile_indices: jnp.ndarray | None = None,
+    counts: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Composite depth-ordered per-tile Gaussian lists.
 
@@ -309,4 +316,6 @@ def composite_tiles(
         )
     if tile_indices is None:
         tile_indices = jnp.arange(gathered.shape[0], dtype=jnp.int32)
-    return _make_composite(statics)(gathered, tile_indices)
+    if counts is None:
+        counts = jnp.full((gathered.shape[0],), gathered.shape[1], jnp.int32)
+    return _make_composite(statics)(gathered, tile_indices, counts)

@@ -47,6 +47,40 @@ def quat_scale_to_cov3d(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     return M @ jnp.swapaxes(M, -1, -2)
 
 
+def _cov2d_components(quats, scales, R):
+    """Upper-triangle world->camera 2D-precursor covariance components,
+    fully scalar-expanded.
+
+    Batched [N,3,3] matmuls look natural here but are catastrophic on the
+    MXU: each 3x3 gets padded to the 128-lane tile, turning ~14 MB of real
+    data into GB of padded traffic (measured: 2.9 GB accessed, 22 ms).
+    Expanding into [N]-vector elementwise arithmetic keeps everything on
+    the VPU and fuses into one pass.
+
+    Returns the 6 unique components of W Sigma W^T as [N] arrays.
+    """
+    rot = quat_to_rotmat(quats)  # [N,3,3] (built from elementwise ops)
+    # m[i][j] = rot_ij * s_j  (columns scaled)
+    m = [[rot[:, i, j] * scales[:, j] for j in range(3)] for i in range(3)]
+    # sigma_ij = sum_k m_ik m_jk (symmetric)
+    sig = {}
+    for i in range(3):
+        for j in range(i, 3):
+            sig[(i, j)] = sum(m[i][k] * m[j][k] for k in range(3))
+
+    def s_at(i, j):
+        return sig[(i, j)] if (i, j) in sig else sig[(j, i)]
+
+    # a = W @ sigma: a_ij = sum_k W_ik sigma_kj  (W entries are scalars)
+    a = [[sum(R[i, k] * s_at(k, j) for k in range(3)) for j in range(3)]
+         for i in range(3)]
+    # c = a @ W^T: c_ij = sum_k a_ik W_jk — only the unique 6
+    def c_at(i, j):
+        return sum(a[i][k] * R[j, k] for k in range(3))
+
+    return c_at(0, 0), c_at(0, 1), c_at(0, 2), c_at(1, 1), c_at(1, 2), c_at(2, 2)
+
+
 def project_gaussians(
     means3d: jnp.ndarray,  # [N, 3]
     quats: jnp.ndarray,  # [N, 4]
@@ -79,14 +113,9 @@ def project_gaussians(
     txz = jnp.clip(tx * inv_z, -lim_x, lim_x) * tz_safe
     tyz = jnp.clip(ty * inv_z, -lim_y, lim_y) * tz_safe
 
-    cov3d = quat_scale_to_cov3d(quats, scales)  # [N,3,3]
-    # W Sigma W^T as BATCHED 3x3 matmuls (broadcast R), not an einsum —
-    # einsum lowers this to a tall-skinny 2D dot, which the TPU compiler
-    # autotunes for minutes (same pathology as the note above); batched
-    # tiny matmuls compile instantly.
-    n = cov3d.shape[0]
-    r_b = jnp.broadcast_to(R, (n, 3, 3))
-    cov_cam = jnp.matmul(jnp.matmul(r_b, cov3d), jnp.swapaxes(r_b, -1, -2))
+    # W Sigma W^T fully scalar-expanded (see _cov2d_components for why
+    # neither einsum nor batched 3x3 matmuls are acceptable on TPU).
+    c00, c01, c02, c11, c12, c22 = _cov2d_components(quats, scales, R)
 
     # J (2x3) rows; apply J Sigma_cam J^T via explicit expansion (keeps XLA
     # on cheap fused elementwise ops instead of [N,2,3]x[N,3,3] batched
@@ -95,9 +124,6 @@ def project_gaussians(
     j02 = -fx * txz * inv_z * inv_z
     j11 = fy * inv_z
     j12 = -fy * tyz * inv_z * inv_z
-
-    c00, c01, c02 = cov_cam[:, 0, 0], cov_cam[:, 0, 1], cov_cam[:, 0, 2]
-    c11, c12, c22 = cov_cam[:, 1, 1], cov_cam[:, 1, 2], cov_cam[:, 2, 2]
 
     sxx = j00 * j00 * c00 + 2.0 * j00 * j02 * c02 + j02 * j02 * c22
     sxy = j00 * j11 * c01 + j00 * j12 * c02 + j02 * j11 * c12 + j02 * j12 * c22

@@ -65,6 +65,13 @@ def rasterize(
     v = viewmats.shape[0]
     th, tw = cfg.tile_h, cfg.tile_w
     ntx, nty = binning.tile_grid(width, height, th, tw)
+    backend = resolve_backend(cfg)
+
+    if cfg.packed and backend == "pallas":
+        return _rasterize_packed(
+            means3d, quats, scales, opacities, colors, viewmats,
+            fx, fy, cx, cy, width, height, cfg, background, means2d_offset,
+        )
 
     def per_view(viewmat, view_colors):
         proj = project_gaussians(
@@ -79,13 +86,13 @@ def rasterize(
         )
         payload = binning.build_payload(proj, view_colors, opacities)
         gathered = binning.gather_payload(payload, tiles)
-        return gathered, proj.radii, proj.depths, tiles.num_dropped
+        return gathered, tiles.counts, proj.radii, proj.depths, tiles.num_dropped
 
     # colors: shared [N,3] or per-view [V,N,3] (view-dependent SH radiance)
     color_axis = 0 if colors.ndim == 3 else None
-    gathered, radii, depths, dropped = jax.vmap(per_view, in_axes=(0, color_axis))(
-        viewmats, colors
-    )
+    gathered, counts, radii, depths, dropped = jax.vmap(
+        per_view, in_axes=(0, color_axis)
+    )(viewmats, colors)
     tt = v * ntx * nty
     gathered = gathered.reshape(tt, cfg.tile_capacity, binning.PAYLOAD_DIM)
 
@@ -98,9 +105,11 @@ def rasterize(
         chunk=cfg.chunk,
         alpha_clip=cfg.alpha_clip,
         alpha_threshold=cfg.alpha_threshold,
-        backend=resolve_backend(cfg),
+        backend=backend,
     )
-    out4 = composite_tiles(gathered, statics)  # [tt, 4, P]
+    out4 = composite_tiles(
+        gathered, statics, counts=counts.reshape(tt)
+    )  # [tt, 4, P]
 
     # Reassemble tiles -> padded image -> crop.
     out4 = out4.reshape(v, nty, ntx, 4, th, tw)
@@ -111,4 +120,90 @@ def rasterize(
     if background is not None:
         images = images + (1.0 - alphas)[..., None] * background[None, None, None, :]
     aux = RasterizeAux(radii=radii, depths=depths, num_dropped=jnp.sum(dropped))
+    return images, alphas, aux
+
+
+def _rasterize_packed(
+    means3d, quats, scales, opacities, colors, viewmats,
+    fx, fy, cx, cy, width, height, cfg, background, means2d_offset,
+):
+    """Halo-masked streaming path (ops/rasterize_packed.py V2.1): one row
+    gather into the depth-sorted stream, block-aligned kernel DMA."""
+    from casualhdrsplat_tpu.ops import rasterize_packed
+
+    v = viewmats.shape[0]
+    n = means3d.shape[0]
+    g = cfg.chunk
+    th, tw = cfg.tile_h, cfg.tile_w
+    ntx, nty = binning.tile_grid(width, height, th, tw)
+    num_tiles = ntx * nty
+    # static per-view stream budget (rounded to whole chunks)
+    s_budget = min(n * cfg.max_tiles_per_gaussian, cfg.stream_factor * n)
+    s_budget = -(-s_budget // g) * g
+    c_budget = s_budget // g + 2 * num_tiles + 1
+    sentinel = v * num_tiles  # one junk output row shared by all views
+
+    def per_view(viewmat, view_colors, view_idx):
+        proj = project_gaussians(
+            means3d, quats, scales, viewmat, fx, fy, cx, cy, width, height,
+            near_plane=cfg.near_plane,
+        )
+        if means2d_offset is not None:
+            proj = proj._replace(means2d=proj.means2d + means2d_offset)
+        s_gauss, starts, seg_len = binning.sorted_stream(
+            proj.means2d, proj.radii, proj.depths, proj.valid,
+            width, height, th, tw, cfg.max_tiles_per_gaussian,
+        )
+        # clip segments to the stream budget (overflow = dropped far pairs)
+        starts_c = jnp.minimum(starts, s_budget)
+        seg_c = jnp.minimum(starts[:-1] + seg_len, s_budget) - starts_c[:-1]
+        dropped = jnp.sum(seg_len) - jnp.sum(seg_c)
+        chunks = binning.pack_stream_chunks(
+            starts_c, seg_c, s_budget, g, c_budget,
+            out_row_offset=view_idx * num_tiles, sentinel_row=sentinel,
+        )
+        payload = binning.build_payload(proj, view_colors, opacities)
+        # the ONE row gather: payload rows in stream order (tail -> pad row)
+        stream_ids = jnp.where(
+            jnp.arange(s_budget) < starts[num_tiles], s_gauss[:s_budget], n
+        )
+        stream = payload[stream_ids]  # [s_budget, 16]
+        # offset per-view metadata into the concatenated global stream
+        chunks = chunks._replace(
+            block_id=chunks.block_id + view_idx * (s_budget // g),
+            seg_lo=chunks.seg_lo + view_idx * s_budget,
+            seg_hi=chunks.seg_hi + view_idx * s_budget,
+        )
+        return stream, chunks, proj.radii, dropped
+
+    color_axis = 0 if colors.ndim == 3 else None
+    view_ids = jnp.arange(v, dtype=jnp.int32)
+    streams, chunks_v, radii, dropped = jax.vmap(
+        per_view, in_axes=(0, color_axis, 0)
+    )(viewmats, colors, view_ids)
+
+    stream = streams.reshape(v * s_budget, binning.PAYLOAD_DIM)
+    chunks = binning.StreamChunks(
+        block_id=chunks_v.block_id.reshape(-1),
+        out_row=chunks_v.out_row.reshape(-1),
+        first=chunks_v.first.reshape(-1),
+        seg_lo=chunks_v.seg_lo.reshape(-1),
+        seg_hi=chunks_v.seg_hi.reshape(-1),
+        num_chunks=jnp.sum(chunks_v.num_chunks),
+    )
+
+    statics = CompositeStatics(
+        num_views=v, ntx=ntx, nty=nty, tile_h=th, tile_w=tw, chunk=g,
+        alpha_clip=cfg.alpha_clip, alpha_threshold=cfg.alpha_threshold,
+        backend="pallas",
+    )
+    out4 = rasterize_packed.composite_stream(stream, chunks, sentinel + 1, statics)
+    out4 = out4[:sentinel].reshape(v, nty, ntx, 4, th, tw)
+    out4 = out4.transpose(0, 3, 1, 4, 2, 5).reshape(v, 4, nty * th, ntx * tw)
+    out4 = out4[:, :, :height, :width]
+    images = out4[:, :3].transpose(0, 2, 3, 1)
+    alphas = jnp.clip(out4[:, 3], 0.0, 1.0)
+    if background is not None:
+        images = images + (1.0 - alphas)[..., None] * background[None, None, None, :]
+    aux = RasterizeAux(radii=radii, depths=radii, num_dropped=jnp.sum(dropped))
     return images, alphas, aux

@@ -1,0 +1,333 @@
+"""Halo-masked streaming compositor — zero-copy Pallas kernels (V2.1).
+
+Row-granular gathers/scatters cost ~10-15 ns/row on this TPU, so layouts
+that touch [tiles, capacity] slots (the dense path) or re-align the
+intersection stream per tile (a packed-with-padding layout) pay for every
+padded slot three times (gather, kernel, gradient scatter).  V2.1 touches
+each real intersection ~once:
+
+- binning produces the depth-sorted stream ids `s_gauss` (binning.
+  sorted_stream); ONE row gather builds `stream_payload = payload[s_gauss]`
+  — its autodiff transpose is the single per-Gaussian gradient reduction;
+- kernels DMA BLOCK-ALIGNED windows of the stream directly (regular
+  BlockSpec with a scalar-prefetched block index — no realignment);
+- a tile whose segment starts or ends mid-block shares that boundary
+  block with its neighbors; prefetched (seg_lo, seg_hi) bounds mask the
+  foreign slots inside the kernel (one iota compare);
+- per-chunk scalars (binning.pack_stream_chunks) also carry the output
+  row and a `first` flag driving the transmittance-reset / revisiting-
+  accumulation pattern; unused budget chunks alias the sentinel row;
+- the backward emits per-chunk-slot gradients [C, G, 16]; the wrapper
+  scatter-adds them back onto stream positions (positions are computed
+  elementwise from per-chunk scalars — only boundary blocks duplicate),
+  and XLA's gather transpose finishes the reduction to Gaussians.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from casualhdrsplat_tpu.ops import binning
+from casualhdrsplat_tpu.ops.composite import CompositeStatics, _alpha_terms
+from casualhdrsplat_tpu.ops.rasterize_pallas import (
+    TRANSMITTANCE_EPS,
+    _mm,
+    _tri_strict,
+)
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _origin_coords(out_row, statics: CompositeStatics):
+    tiles_per_view = statics.ntx * statics.nty
+    t = out_row % tiles_per_view
+    ox = (t % statics.ntx) * statics.tile_w
+    oy = (t // statics.ntx) * statics.tile_h
+    p = statics.tile_h * statics.tile_w
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    px = (idx % statics.tile_w + ox).astype(jnp.float32) + 0.5
+    py = (idx // statics.tile_w + oy).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def _seg_mask(block_start, seg_lo, seg_hi, g: int):
+    pos = block_start + jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+    return jnp.logical_and(pos >= seg_lo, pos < seg_hi)  # (G,1)
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    block_ref, row_ref, first_ref, lo_ref, hi_ref, chunks_ref, out_ref, t_scr,
+    *, statics,
+):
+    g = statics.chunk
+    i = pl.program_id(0)
+    px, py = _origin_coords(row_ref[i], statics)
+    l_strict = _tri_strict(g)
+
+    @pl.when(first_ref[i] == 1)
+    def _():
+        t_scr[...] = jnp.ones_like(t_scr)
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    t_in = t_scr[...]
+
+    @pl.when(jnp.max(t_in) >= TRANSMITTANCE_EPS)
+    def _():
+        chunk = chunks_ref[:]  # (G, 16)
+        alpha, *_ = _alpha_terms(
+            chunk, px, py, statics.alpha_clip, statics.alpha_threshold
+        )
+        mask = _seg_mask(block_ref[i] * g, lo_ref[i], hi_ref[i], g)
+        alpha = jnp.where(mask, alpha, 0.0)
+        log1m = jnp.log1p(-alpha)
+        s_excl = _mm(l_strict, log1m)
+        w = alpha * jnp.exp(s_excl) * t_in
+        c4 = chunk[:, binning.COL_R : binning.COL_ONE + 1]
+        contrib = jax.lax.dot_general(
+            c4, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HIGHEST,
+        )
+        out_ref[0] = out_ref[0] + contrib
+        t_scr[...] = t_in * jnp.exp(jnp.sum(log1m, axis=0, keepdims=True))
+
+
+def forward(
+    stream_payload: jnp.ndarray,  # [M, 16] depth-sorted payload stream
+    chunks: binning.StreamChunks,
+    num_rows: int,
+    statics: CompositeStatics,
+) -> jnp.ndarray:
+    m, pd = stream_payload.shape
+    g = statics.chunk
+    c = chunks.block_id.shape[0]
+    p = statics.tile_h * statics.tile_w
+    kernel = functools.partial(_fwd_kernel, statics=statics)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(c,),
+        in_specs=[
+            pl.BlockSpec(
+                (g, pd),
+                lambda i, block_ref, *_: (block_ref[i], 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, p),
+            lambda i, block_ref, row_ref, *_: (row_ref[i], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((1, p), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_rows, 4, p), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=c * g * p * 10,
+            bytes_accessed=c * g * pd * 4 + num_rows * 4 * p * 4,
+            transcendentals=2 * c * g * p,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        chunks.block_id, chunks.out_row, chunks.first, chunks.seg_lo,
+        chunks.seg_hi, stream_payload,
+    )
+
+
+# --------------------------------------------------------------------------
+# backward
+# --------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    block_ref, row_ref, first_ref, lo_ref, hi_ref,
+    chunks_ref, out4_ref, g4_ref, d_ref, t_scr, p4_scr,
+    *, statics,
+):
+    g = statics.chunk
+    i = pl.program_id(0)
+    px, py = _origin_coords(row_ref[i], statics)
+    l_strict = _tri_strict(g)
+    l_incl = l_strict + jnp.eye(g, dtype=jnp.float32)
+
+    @pl.when(first_ref[i] == 1)
+    def _():
+        t_scr[...] = jnp.ones_like(t_scr)
+        p4_scr[...] = jnp.zeros_like(p4_scr)
+
+    t_in = t_scr[...]
+    live_chunk = jnp.max(t_in) >= TRANSMITTANCE_EPS
+
+    @pl.when(jnp.logical_not(live_chunk))
+    def _():
+        d_ref[0] = jnp.zeros_like(d_ref[0])
+
+    @pl.when(live_chunk)
+    def _():
+        prefix4 = p4_scr[...]
+        c4_tot = out4_ref[0]
+        g4 = g4_ref[0]
+        chunk = chunks_ref[:]
+        alpha, alpha_raw, expf, dx, dy, (cxx, cxy, cyy) = _alpha_terms(
+            chunk, px, py, statics.alpha_clip, statics.alpha_threshold
+        )
+        mask = _seg_mask(block_ref[i] * g, lo_ref[i], hi_ref[i], g)
+        alpha = jnp.where(mask, alpha, 0.0)
+        log1m = jnp.log1p(-alpha)
+        s_excl = _mm(l_strict, log1m)
+        t_k = jnp.exp(s_excl) * t_in
+        w = alpha * t_k
+        c4 = chunk[:, binning.COL_R : binning.COL_ONE + 1]
+
+        d_c4 = jax.lax.dot_general(
+            w, g4, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HIGHEST,
+        )
+
+        term2 = jnp.zeros_like(w)
+        new_prefix = []
+        for cch in range(4):
+            cw = c4[:, cch : cch + 1] * w
+            pc = prefix4[cch : cch + 1, :] + _mm(l_incl, cw)
+            term2 = term2 + (c4_tot[cch : cch + 1, :] - pc) * g4[cch : cch + 1, :]
+            new_prefix.append(
+                prefix4[cch : cch + 1, :] + jnp.sum(cw, 0, keepdims=True)
+            )
+
+        cg = jax.lax.dot_general(
+            c4, g4, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HIGHEST,
+        )
+        dl_da = jnp.where(alpha > 0.0, t_k * cg - term2 / (1.0 - alpha), 0.0)
+        live = jnp.logical_and(alpha > 0.0, alpha_raw < statics.alpha_clip)
+        g_a = jnp.where(live, dl_da, 0.0)
+        g_pw = g_a * alpha
+
+        d_opa = jnp.sum(g_a * expf, axis=1, keepdims=True)
+        d_mx = jnp.sum(g_pw * (cxx * dx + cxy * dy), axis=1, keepdims=True)
+        d_my = jnp.sum(g_pw * (cyy * dy + cxy * dx), axis=1, keepdims=True)
+        d_cxx = jnp.sum(g_pw * (-0.5 * dx * dx), axis=1, keepdims=True)
+        d_cyy = jnp.sum(g_pw * (-0.5 * dy * dy), axis=1, keepdims=True)
+        d_cxy = jnp.sum(g_pw * (-dx * dy), axis=1, keepdims=True)
+        zeros1 = jnp.zeros_like(d_opa)
+        d_ref[0] = jnp.concatenate(
+            [d_mx, d_my, d_cxx, d_cxy, d_cyy, d_opa, d_c4[:, :3]]
+            + [zeros1] * (binning.PAYLOAD_DIM - 9),
+            axis=1,
+        )
+        t_scr[...] = t_in * jnp.exp(jnp.sum(log1m, axis=0, keepdims=True))
+        p4_scr[...] = jnp.concatenate(new_prefix, axis=0)
+
+
+def backward(
+    stream_payload: jnp.ndarray,
+    chunks: binning.StreamChunks,
+    out4: jnp.ndarray,
+    g4: jnp.ndarray,
+    statics: CompositeStatics,
+) -> jnp.ndarray:
+    """Returns d stream_payload [M, 16]."""
+    m, pd = stream_payload.shape
+    g = statics.chunk
+    c = chunks.block_id.shape[0]
+    p = statics.tile_h * statics.tile_w
+    kernel = functools.partial(_bwd_kernel, statics=statics)
+    stream_map = lambda i, block_ref, *_: (block_ref[i], 0)
+    row_map = lambda i, block_ref, row_ref, *_: (row_ref[i], 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(c,),
+        in_specs=[
+            pl.BlockSpec((g, pd), stream_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, p), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, p), row_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, g, pd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, p), jnp.float32),
+            pltpu.VMEM((4, p), jnp.float32),
+        ],
+    )
+    d_chunks = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c, g, pd), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=c * g * p * 30,
+            bytes_accessed=2 * c * g * pd * 4,
+            transcendentals=3 * c * g * p,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        chunks.block_id, chunks.out_row, chunks.first, chunks.seg_lo,
+        chunks.seg_hi, stream_payload, out4, g4,
+    )
+    # per-slot stream positions, elementwise from per-chunk scalars;
+    # boundary blocks appear twice but their foreign slots emitted zeros,
+    # so the scatter-add (the ONLY scatter in the pipeline) is exact
+    pos = (
+        chunks.block_id[:, None] * g + jnp.arange(g, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    return (
+        jnp.zeros((m, pd), jnp.float32)
+        .at[pos]
+        .add(d_chunks.reshape(c * g, pd))
+    )
+
+
+# --------------------------------------------------------------------------
+# custom_vjp wrapper
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_composite_stream(statics: CompositeStatics, num_rows: int):
+    @jax.custom_vjp
+    def composite(stream_payload, block_id, out_row, first, seg_lo, seg_hi):
+        chunks = binning.StreamChunks(
+            block_id, out_row, first, seg_lo, seg_hi, jnp.int32(0)
+        )
+        return forward(stream_payload, chunks, num_rows, statics)
+
+    def fwd(stream_payload, block_id, out_row, first, seg_lo, seg_hi):
+        chunks = binning.StreamChunks(
+            block_id, out_row, first, seg_lo, seg_hi, jnp.int32(0)
+        )
+        out4 = forward(stream_payload, chunks, num_rows, statics)
+        return out4, (stream_payload, chunks, out4)
+
+    def bwd(res, g4):
+        stream_payload, chunks, out4 = res
+        d = backward(stream_payload, chunks, out4, g4, statics)
+        return d, None, None, None, None, None
+
+    composite.defvjp(fwd, bwd)
+    return composite
+
+
+def composite_stream(
+    stream_payload: jnp.ndarray,
+    chunks: binning.StreamChunks,
+    num_rows: int,
+    statics: CompositeStatics,
+) -> jnp.ndarray:
+    """Depth-sorted payload stream -> [num_rows, 4, P] tile composites."""
+    if stream_payload.shape[0] % statics.chunk:
+        raise ValueError("stream length must be a multiple of the chunk size")
+    return _make_composite_stream(statics, num_rows)(
+        stream_payload, chunks.block_id, chunks.out_row, chunks.first,
+        chunks.seg_lo, chunks.seg_hi,
+    )

@@ -68,11 +68,17 @@ def _pixel_coords(tile_index, statics: CompositeStatics):
 # --------------------------------------------------------------------------
 
 
-def _fwd_kernel(tile_idx_ref, payload_ref, out_ref, *, statics: CompositeStatics, cap: int):
+def _fwd_kernel(
+    tile_idx_ref, counts_ref, payload_ref, out_ref, *,
+    statics: CompositeStatics, cap: int,
+):
     g = statics.chunk
     p = statics.tile_h * statics.tile_w
-    n_chunks = cap // g
-    px, py = _pixel_coords(tile_idx_ref[pl.program_id(0)], statics)
+    i = pl.program_id(0)
+    px, py = _pixel_coords(tile_idx_ref[i], statics)
+    # only the occupied chunks of this tile's list (padding slots are
+    # zero-opacity no-ops; skipping them is the big win at low occupancy)
+    n_chunks = pl.cdiv(counts_ref[i], g)
     l_strict = _tri_strict(g)
 
     def cond(state):
@@ -102,14 +108,17 @@ def _fwd_kernel(tile_idx_ref, payload_ref, out_ref, *, statics: CompositeStatics
 
 
 def forward(
-    gathered: jnp.ndarray, tile_indices: jnp.ndarray, statics: CompositeStatics
+    gathered: jnp.ndarray,
+    tile_indices: jnp.ndarray,
+    counts: jnp.ndarray,
+    statics: CompositeStatics,
 ) -> jnp.ndarray:
     tt, cap, pd = gathered.shape
     p = statics.tile_h * statics.tile_w
     kernel = functools.partial(_fwd_kernel, statics=statics, cap=cap)
     flops_per_tile = cap * (statics.chunk * p * 2 + p * 30)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(tt,),
         in_specs=[
             pl.BlockSpec((1, cap, pd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -128,7 +137,7 @@ def forward(
             transcendentals=tt * cap * p,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(tile_indices, gathered)
+    )(tile_indices, counts, gathered)
 
 
 # --------------------------------------------------------------------------
@@ -137,13 +146,14 @@ def forward(
 
 
 def _bwd_kernel(
-    tile_idx_ref, payload_ref, out4_ref, g4_ref, d_ref, *,
+    tile_idx_ref, counts_ref, payload_ref, out4_ref, g4_ref, d_ref, *,
     statics: CompositeStatics, cap: int,
 ):
     g = statics.chunk
     p = statics.tile_h * statics.tile_w
-    n_chunks = cap // g
-    px, py = _pixel_coords(tile_idx_ref[pl.program_id(0)], statics)
+    i = pl.program_id(0)
+    n_chunks = pl.cdiv(counts_ref[i], g)
+    px, py = _pixel_coords(tile_idx_ref[i], statics)
     l_strict = _tri_strict(g)
     l_incl = l_strict + jnp.eye(g, dtype=jnp.float32)
 
@@ -216,6 +226,7 @@ def _bwd_kernel(
 def backward(
     gathered: jnp.ndarray,
     tile_indices: jnp.ndarray,
+    counts: jnp.ndarray,
     out4: jnp.ndarray,
     g4: jnp.ndarray,
     statics: CompositeStatics,
@@ -225,7 +236,7 @@ def backward(
     kernel = functools.partial(_bwd_kernel, statics=statics, cap=cap)
     flops_per_tile = cap * (statics.chunk * p * 12 + p * 80)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(tt,),
         in_specs=[
             pl.BlockSpec((1, cap, pd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -246,4 +257,4 @@ def backward(
             transcendentals=2 * tt * cap * p,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(tile_indices, gathered, out4, g4)
+    )(tile_indices, counts, gathered, out4, g4)

@@ -151,9 +151,15 @@ def rasterize_sharded(
             local_tiles = jax.lax.dynamic_slice_in_dim(
                 table, g_idx * tpd, tpd, axis=0
             )
-            return padded[local_tiles], tiles.num_dropped  # [tpd, K, 16]
+            counts_pad = jnp.concatenate(
+                [tiles.counts, jnp.zeros((tiles_pad - num_tiles,), jnp.int32)]
+            ) if tiles_pad > num_tiles else tiles.counts
+            local_counts = jax.lax.dynamic_slice_in_dim(
+                counts_pad, g_idx * tpd, tpd, axis=0
+            )
+            return padded[local_tiles], local_counts, tiles.num_dropped
 
-        gathered, dropped = jax.vmap(bin_and_gather)(payload, aux)
+        gathered, counts_l, dropped = jax.vmap(bin_and_gather)(payload, aux)
         vl = gathered.shape[0]
         flat = gathered.reshape(vl * tpd, cfg.tile_capacity, binning.PAYLOAD_DIM)
 
@@ -164,7 +170,9 @@ def rasterize_sharded(
         tile_indices = (
             g_idx * tpd + jnp.tile(jnp.arange(tpd, dtype=jnp.int32), (vl,))
         ) % num_tiles
-        out4 = composite_tiles(flat, statics, tile_indices)
+        out4 = composite_tiles(
+            flat, statics, tile_indices, counts=counts_l.reshape(vl * tpd)
+        )
         out4 = out4.reshape(vl, tpd, 4, th * tw)
         # overflow diagnostic: reduce to a replicated scalar (every view
         # counts once; the gauss axis all computed identical bins)

@@ -1,0 +1,1 @@
+from casualhdrsplat_tpu.viewer.server import ViewerServer  # noqa: F401

@@ -1,0 +1,96 @@
+"""Packed streaming compositor (V2) vs dense path and oracle — fwd+bwd
+allclose in interpret mode (SURVEY.md §5.2 sanitizer equivalent)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from casualhdrsplat_tpu.config import RasterizeConfig
+from casualhdrsplat_tpu.data import synthetic
+from casualhdrsplat_tpu.ops import oracle, rasterize
+
+
+def cfgs(**kw):
+    base = dict(tile_h=8, tile_w=16, max_tiles_per_gaussian=32, chunk=32)
+    base.update(kw)
+    return (
+        # dense reference needs capacity >= max tile occupancy (the packed
+        # path never truncates)
+        RasterizeConfig(backend="xla", packed=False, tile_capacity=256, **base),
+        RasterizeConfig(backend="pallas", packed=True, tile_capacity=64, **base),
+    )
+
+
+def run(cloud, cam, cfg, target=None, nviews=1):
+    vm = jnp.tile(cam.viewmat[None], (nviews, 1, 1))
+
+    def fwd(m, q, s, o, c):
+        return rasterize.rasterize(
+            m, q, s, o, c, vm, cam.fx, cam.fy, cam.cx, cam.cy,
+            cam.width, cam.height, cfg,
+        )[:2]
+
+    args = (cloud.means3d, cloud.quats, cloud.scales, cloud.opacities, cloud.colors)
+    imgs, alphas = fwd(*args)
+    grads = None
+    if target is not None:
+        def loss(*a):
+            im, al = fwd(*a)
+            return jnp.mean((im[0] - target) ** 2) + 0.05 * jnp.mean(al)
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+    return imgs, alphas, grads
+
+
+def test_packed_forward_matches_dense(rng):
+    cloud = synthetic.random_cloud(rng, 90)
+    cam = synthetic.orbit_camera(0.1, width=32, img_height=24)
+    cfg_x, cfg_p = cfgs()
+    img_x, al_x, _ = run(cloud, cam, cfg_x)
+    img_p, al_p, _ = run(cloud, cam, cfg_p)
+    np.testing.assert_allclose(img_p, img_x, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(al_p, al_x, atol=1e-5)
+
+
+def test_packed_forward_matches_oracle(rng):
+    cloud = synthetic.random_cloud(rng, 70)
+    cam = synthetic.orbit_camera(0.0, width=24, img_height=24)
+    _, cfg_p = cfgs()
+    img_p, _, _ = run(cloud, cam, cfg_p)
+    ref = oracle.render(
+        cloud.means3d, cloud.quats, cloud.scales, cloud.opacities, cloud.colors, cam
+    )
+    np.testing.assert_allclose(img_p[0], ref.image, atol=2e-4, rtol=1e-3)
+
+
+def test_packed_backward_matches_dense(rng):
+    cloud = synthetic.random_cloud(rng, 60)
+    cam = synthetic.orbit_camera(0.1, width=16, img_height=16)
+    target = jnp.asarray(rng.uniform(size=(16, 16, 3)), jnp.float32)
+    cfg_x, cfg_p = cfgs()
+    _, _, g_x = run(cloud, cam, cfg_x, target)
+    _, _, g_p = run(cloud, cam, cfg_p, target)
+    names = ("means3d", "quats", "scales", "opacities", "colors")
+    for name, a, b in zip(names, g_p, g_x):
+        scale = max(1e-6, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(a, b, atol=1e-4 * scale, rtol=1e-3, err_msg=name)
+
+
+def test_packed_multiview(rng):
+    """Multiple views share the chunk stream machinery (per-view offsets)."""
+    cloud = synthetic.random_cloud(rng, 40)
+    cam = synthetic.orbit_camera(0.0, width=16, img_height=16)
+    _, cfg_p = cfgs()
+    imgs, alphas, _ = run(cloud, cam, cfg_p, nviews=3)
+    assert imgs.shape[0] == 3
+    np.testing.assert_allclose(imgs[0], imgs[2], atol=1e-6)  # same pose
+
+
+def test_packed_dense_occupancy(rng):
+    """Opaque scene exercising the transmittance early-exit across chunks."""
+    cloud = synthetic.random_cloud(rng, 150)
+    cloud = cloud._replace(opacities=jnp.full((150,), 0.97))
+    cam = synthetic.orbit_camera(0.0, width=16, img_height=16)
+    cfg_x, cfg_p = cfgs(tile_h=16, tile_w=16, chunk=32)
+    img_x, al_x, _ = run(cloud, cam, cfg_x)
+    img_p, al_p, _ = run(cloud, cam, cfg_p)
+    np.testing.assert_allclose(img_p, img_x, atol=5e-4, rtol=1e-3)
