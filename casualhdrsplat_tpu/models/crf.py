@@ -69,7 +69,14 @@ def apply(params: Params, hdr_exposed: jnp.ndarray, cfg: CRFConfig) -> jnp.ndarr
     if cfg.kind == "identity":
         return jnp.clip(e, 0.0, 1.0)
     if cfg.kind == "gamma":
-        return jnp.clip(e, 0.0, 1.0) ** (1.0 / cfg.gamma)
+        # linear ramp below eps: d/dx x^(1/g) -> inf at 0 (NaN training
+        # gradients on background pixels); the ramp matches value and
+        # keeps the curve monotone/continuous
+        y = jnp.clip(e, 0.0, 1.0)
+        eps = 1e-4
+        inv_g = 1.0 / cfg.gamma
+        safe = jnp.maximum(y, eps)
+        return jnp.where(y > eps, safe**inv_g, y * eps ** (inv_g - 1.0))
     x = _norm_log(e, cfg)  # [..., 3] in ~[0, 1]
     return _monotone_mlp(params, x)
 

@@ -194,6 +194,7 @@ class StreamChunks(NamedTuple):
     first: jnp.ndarray  # [C] int32 1 = first chunk of its tile
     seg_lo: jnp.ndarray  # [C] int32 stream position where the tile starts
     seg_hi: jnp.ndarray  # [C] int32 stream position where the tile ends
+    block_new: jnp.ndarray  # [C] int32 1 = first chunk touching its block
     num_chunks: jnp.ndarray  # [] int32 real chunks (diagnostics)
 
 
@@ -230,14 +231,19 @@ def pack_stream_chunks(
     first = jnp.where(used, c_ids == cum[t], True)
     block = first_block[t] + (c_ids - cum[t])
     max_block = m // g - 1
+    block_id = jnp.where(used, jnp.clip(block, 0, max_block), max_block).astype(
+        jnp.int32
+    )
+    block_new = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (jnp.diff(block_id) != 0).astype(jnp.int32)]
+    )
     return StreamChunks(
-        block_id=jnp.where(used, jnp.clip(block, 0, max_block), max_block).astype(
-            jnp.int32
-        ),
+        block_id=block_id,
         out_row=jnp.where(used, t + out_row_offset, sentinel_row).astype(jnp.int32),
         first=first.astype(jnp.int32),
         seg_lo=jnp.where(used, starts[t], 0).astype(jnp.int32),
         seg_hi=jnp.where(used, ends[t], 0).astype(jnp.int32),
+        block_new=block_new,
         num_chunks=total,
     )
 

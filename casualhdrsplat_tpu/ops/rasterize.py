@@ -189,6 +189,7 @@ def _rasterize_packed(
         first=chunks_v.first.reshape(-1),
         seg_lo=chunks_v.seg_lo.reshape(-1),
         seg_hi=chunks_v.seg_hi.reshape(-1),
+        block_new=chunks_v.block_new.reshape(-1),
         num_chunks=jnp.sum(chunks_v.num_chunks),
     )
 

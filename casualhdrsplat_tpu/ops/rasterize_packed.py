@@ -42,6 +42,21 @@ from casualhdrsplat_tpu.ops.rasterize_pallas import (
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+# Scalar-prefetch arrays live in SMEM (~1 MB): 6 arrays x ~45k chunks
+# overflowed it at production scale (remote compile crash), so out_row and
+# the two control flags travel packed in ONE int32.
+_ROW_MASK = (1 << 24) - 1
+_FIRST_BIT = 1 << 24
+_NEW_BIT = 1 << 25
+
+
+def pack_meta(chunks):
+    return (
+        chunks.out_row
+        | chunks.first * _FIRST_BIT
+        | chunks.block_new * _NEW_BIT
+    ).astype(jnp.int32)
+
 
 def _origin_coords(out_row, statics: CompositeStatics):
     tiles_per_view = statics.ntx * statics.nty
@@ -66,15 +81,16 @@ def _seg_mask(block_start, seg_lo, seg_hi, g: int):
 
 
 def _fwd_kernel(
-    block_ref, row_ref, first_ref, lo_ref, hi_ref, chunks_ref, out_ref, t_scr,
-    *, statics,
+    block_ref, meta_ref, lo_ref, hi_ref,
+    chunks_ref, out_ref, t_scr, *, statics,
 ):
     g = statics.chunk
     i = pl.program_id(0)
-    px, py = _origin_coords(row_ref[i], statics)
+    meta = meta_ref[i]
+    px, py = _origin_coords(meta & _ROW_MASK, statics)
     l_strict = _tri_strict(g)
 
-    @pl.when(first_ref[i] == 1)
+    @pl.when((meta & _FIRST_BIT) != 0)
     def _():
         t_scr[...] = jnp.ones_like(t_scr)
         out_ref[0] = jnp.zeros_like(out_ref[0])
@@ -113,7 +129,7 @@ def forward(
     p = statics.tile_h * statics.tile_w
     kernel = functools.partial(_fwd_kernel, statics=statics)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(c,),
         in_specs=[
             pl.BlockSpec(
@@ -124,7 +140,7 @@ def forward(
         ],
         out_specs=pl.BlockSpec(
             (1, 4, p),
-            lambda i, block_ref, row_ref, *_: (row_ref[i], 0, 0),
+            lambda i, block_ref, meta_ref, *_: (meta_ref[i] & _ROW_MASK, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((1, p), jnp.float32)],
@@ -140,8 +156,8 @@ def forward(
         ),
         interpret=jax.default_backend() == "cpu",
     )(
-        chunks.block_id, chunks.out_row, chunks.first, chunks.seg_lo,
-        chunks.seg_hi, stream_payload,
+        chunks.block_id, pack_meta(chunks), chunks.seg_lo, chunks.seg_hi,
+        stream_payload,
     )
 
 
@@ -151,17 +167,18 @@ def forward(
 
 
 def _bwd_kernel(
-    block_ref, row_ref, first_ref, lo_ref, hi_ref,
+    block_ref, meta_ref, lo_ref, hi_ref,
     chunks_ref, out4_ref, g4_ref, d_ref, t_scr, p4_scr,
     *, statics,
 ):
     g = statics.chunk
     i = pl.program_id(0)
-    px, py = _origin_coords(row_ref[i], statics)
+    meta = meta_ref[i]
+    px, py = _origin_coords(meta & _ROW_MASK, statics)
     l_strict = _tri_strict(g)
     l_incl = l_strict + jnp.eye(g, dtype=jnp.float32)
 
-    @pl.when(first_ref[i] == 1)
+    @pl.when((meta & _FIRST_BIT) != 0)
     def _():
         t_scr[...] = jnp.ones_like(t_scr)
         p4_scr[...] = jnp.zeros_like(p4_scr)
@@ -169,9 +186,12 @@ def _bwd_kernel(
     t_in = t_scr[...]
     live_chunk = jnp.max(t_in) >= TRANSMITTANCE_EPS
 
-    @pl.when(jnp.logical_not(live_chunk))
+    # d output lives in STREAM space (same revisiting pattern as the
+    # forward's tile rows): zero the block on its first visit, accumulate
+    # the two boundary visits — no scatter needed afterwards.
+    @pl.when((meta & _NEW_BIT) != 0)
     def _():
-        d_ref[0] = jnp.zeros_like(d_ref[0])
+        d_ref[...] = jnp.zeros_like(d_ref[...])
 
     @pl.when(live_chunk)
     def _():
@@ -221,11 +241,14 @@ def _bwd_kernel(
         d_cyy = jnp.sum(g_pw * (-0.5 * dy * dy), axis=1, keepdims=True)
         d_cxy = jnp.sum(g_pw * (-dx * dy), axis=1, keepdims=True)
         zeros1 = jnp.zeros_like(d_opa)
-        d_ref[0] = jnp.concatenate(
+        d_chunk = jnp.concatenate(
             [d_mx, d_my, d_cxx, d_cxy, d_cyy, d_opa, d_c4[:, :3]]
             + [zeros1] * (binning.PAYLOAD_DIM - 9),
             axis=1,
         )
+        # foreign (masked) slots produced exact zeros, so accumulation
+        # across the two visits of a boundary block is exact
+        d_ref[...] = d_ref[...] + d_chunk
         t_scr[...] = t_in * jnp.exp(jnp.sum(log1m, axis=0, keepdims=True))
         p4_scr[...] = jnp.concatenate(new_prefix, axis=0)
 
@@ -244,27 +267,28 @@ def backward(
     p = statics.tile_h * statics.tile_w
     kernel = functools.partial(_bwd_kernel, statics=statics)
     stream_map = lambda i, block_ref, *_: (block_ref[i], 0)
-    row_map = lambda i, block_ref, row_ref, *_: (row_ref[i], 0, 0)
+    row_map = lambda i, block_ref, meta_ref, *_: (meta_ref[i] & _ROW_MASK, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(c,),
         in_specs=[
             pl.BlockSpec((g, pd), stream_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, p), row_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, p), row_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, g, pd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        # d is written DIRECTLY into stream space through the same
+        # revisited-block pattern (an XLA position scatter here measured
+        # 675 ms — 4x the kernel itself)
+        out_specs=pl.BlockSpec((g, pd), stream_map, memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((1, p), jnp.float32),
             pltpu.VMEM((4, p), jnp.float32),
         ],
     )
-    d_chunks = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((c, g, pd), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, pd), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=c * g * p * 30,
             bytes_accessed=2 * c * g * pd * 4,
@@ -272,19 +296,8 @@ def backward(
         ),
         interpret=jax.default_backend() == "cpu",
     )(
-        chunks.block_id, chunks.out_row, chunks.first, chunks.seg_lo,
-        chunks.seg_hi, stream_payload, out4, g4,
-    )
-    # per-slot stream positions, elementwise from per-chunk scalars;
-    # boundary blocks appear twice but their foreign slots emitted zeros,
-    # so the scatter-add (the ONLY scatter in the pipeline) is exact
-    pos = (
-        chunks.block_id[:, None] * g + jnp.arange(g, dtype=jnp.int32)[None, :]
-    ).reshape(-1)
-    return (
-        jnp.zeros((m, pd), jnp.float32)
-        .at[pos]
-        .add(d_chunks.reshape(c * g, pd))
+        chunks.block_id, pack_meta(chunks), chunks.seg_lo, chunks.seg_hi,
+        stream_payload, out4, g4,
     )
 
 
@@ -296,15 +309,15 @@ def backward(
 @functools.lru_cache(maxsize=None)
 def _make_composite_stream(statics: CompositeStatics, num_rows: int):
     @jax.custom_vjp
-    def composite(stream_payload, block_id, out_row, first, seg_lo, seg_hi):
+    def composite(stream_payload, block_id, out_row, first, seg_lo, seg_hi, block_new):
         chunks = binning.StreamChunks(
-            block_id, out_row, first, seg_lo, seg_hi, jnp.int32(0)
+            block_id, out_row, first, seg_lo, seg_hi, block_new, jnp.int32(0)
         )
         return forward(stream_payload, chunks, num_rows, statics)
 
-    def fwd(stream_payload, block_id, out_row, first, seg_lo, seg_hi):
+    def fwd(stream_payload, block_id, out_row, first, seg_lo, seg_hi, block_new):
         chunks = binning.StreamChunks(
-            block_id, out_row, first, seg_lo, seg_hi, jnp.int32(0)
+            block_id, out_row, first, seg_lo, seg_hi, block_new, jnp.int32(0)
         )
         out4 = forward(stream_payload, chunks, num_rows, statics)
         return out4, (stream_payload, chunks, out4)
@@ -312,7 +325,7 @@ def _make_composite_stream(statics: CompositeStatics, num_rows: int):
     def bwd(res, g4):
         stream_payload, chunks, out4 = res
         d = backward(stream_payload, chunks, out4, g4, statics)
-        return d, None, None, None, None, None
+        return d, None, None, None, None, None, None
 
     composite.defvjp(fwd, bwd)
     return composite
@@ -329,5 +342,5 @@ def composite_stream(
         raise ValueError("stream length must be a multiple of the chunk size")
     return _make_composite_stream(statics, num_rows)(
         stream_payload, chunks.block_id, chunks.out_row, chunks.first,
-        chunks.seg_lo, chunks.seg_hi,
+        chunks.seg_lo, chunks.seg_hi, chunks.block_new,
     )

@@ -1,0 +1,165 @@
+"""Config-ladder end-to-end recovery tests (BASELINE.md measurement
+ladder; SURVEY.md §4.5): each rung isolates one factor of the joint
+model and must RECOVER the known ground truth of a synthetic scene."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from casualhdrsplat_tpu import config
+from casualhdrsplat_tpu.data import dataset as dataset_mod
+from casualhdrsplat_tpu.data import synthetic
+from casualhdrsplat_tpu.models import image_formation as imf
+from casualhdrsplat_tpu.models import losses
+from casualhdrsplat_tpu.train.trainer import Trainer
+
+
+def base_cfg(**model_kw):
+    cfg = config.TrainConfig(name="ladder-test")
+    cfg.model.max_gaussians = 128
+    cfg.model.sh_degree = 1
+    cfg.model.rasterize = config.RasterizeConfig(
+        tile_h=8, tile_w=16, tile_capacity=128, max_tiles_per_gaussian=32,
+        chunk=32, backend="xla", packed=False,
+    )
+    cfg.densify.enabled = False
+    cfg.data.eval_every = 0  # train on every frame (exposures are per-frame)
+    cfg.log_every = 10**9
+    cfg.eval_every = 0
+    cfg.checkpoint_every = 0
+    for k, v in model_kw.items():
+        setattr(cfg.model, k, v)
+    return cfg
+
+
+def dataset_from_video(video):
+    n = video.images.shape[0]
+    mats = np.asarray([np.asarray(video.knots[2 + i]) for i in range(n)], np.float32)
+    cam = video.camera
+    return dataset_mod.Dataset(
+        images=np.asarray(video.images),
+        timestamps=np.asarray(video.timestamps),
+        viewmats=mats,
+        fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx), cy=float(cam.cy),
+        width=cam.width, height=cam.height,
+        points_xyz=np.asarray(video.cloud.means3d),
+        points_rgb=np.clip(np.asarray(video.cloud.colors), 0, 1),
+    )
+
+
+@pytest.mark.slow
+def test_ladder2_recovers_exposure_ratios(rng):
+    """Static multi-exposure sequence: learnable per-frame exposures +
+    CRF must recover the GT exposure RATIOS (global scale is gauge)."""
+    video = synthetic.make_casual_video(
+        rng, n_gaussians=60, n_frames=5, n_virtual=1, size=24,
+        exposure_range=(0.4, 1.6), blur=False,
+    )
+    ds = dataset_from_video(video)
+    cfg = base_cfg(
+        num_virtual_views=1, optimize_poses=False, optimize_exposure=True,
+    )
+    cfg.model.crf.kind = "gamma"  # GT tone curve known -> isolate exposures
+    cfg.optim.max_steps = 120
+    cfg.optim.exposure_lr = 5e-2
+    t = Trainer(cfg, ds)
+    for _ in range(cfg.optim.max_steps):
+        t.run_step()
+    got = np.asarray(t.params["log_exposures"])
+    gt = np.log(np.asarray(video.exposures))
+    # compare ratios: subtract means (gauge)
+    got_c = got - got.mean()
+    gt_c = gt - gt.mean()
+    err = np.abs(got_c - gt_c).max()
+    assert err < 0.15, (got_c, gt_c)
+
+
+@pytest.mark.slow
+def test_ladder3_pose_refinement_recovers_knots(rng):
+    """Motion-blur rung: with the SCENE frozen at ground truth, spline
+    pose optimization must pull perturbed knots back toward the true
+    trajectory (deltas -> 0; no scene/pose gauge freedom)."""
+    import optax
+
+    from casualhdrsplat_tpu.models import gaussians as gauss_mod
+    from casualhdrsplat_tpu.ops import sh as sh_ops
+
+    video = synthetic.make_casual_video(
+        rng, n_gaussians=60, n_frames=4, n_virtual=5, size=24,
+        exposure_range=(0.7, 1.1), crf_gamma=1.0,
+    )
+    ds = dataset_from_video(video)
+    cfg = base_cfg(
+        num_virtual_views=5, optimize_poses=True, optimize_exposure=False,
+    )
+    cfg.model.crf.kind = "identity"
+    scene = imf.build_scene(ds, cfg.model)
+    params = imf.init_params(scene, ds.points_xyz, ds.points_rgb, cfg.model)
+    # freeze gaussians at ground truth
+    n = 60
+    cap = cfg.model.max_gaussians
+    g = params["gaussians"]
+    g["means"] = g["means"].at[:n].set(video.cloud.means3d)
+    g["quats"] = g["quats"].at[:n].set(video.cloud.quats)
+    g["log_scales"] = g["log_scales"].at[:n].set(jnp.log(video.cloud.scales))
+    g["opacity_logit"] = g["opacity_logit"].at[:n].set(
+        jnp.log(video.cloud.opacities / (1 - video.cloud.opacities))
+    )
+    g["sh_dc"] = g["sh_dc"].at[:n, 0].set(sh_ops.rgb_to_sh_dc(video.cloud.colors))
+    g["sh_rest"] = jnp.zeros_like(g["sh_rest"])
+    # ground-truth exposures, perturbed knots
+    params["log_exposures"] = jnp.log(jnp.asarray(video.exposures))
+    key = jax.random.PRNGKey(7)
+    init_deltas = 0.02 * jax.random.normal(key, params["knot_deltas"].shape)
+    params["knot_deltas"] = init_deltas
+    images = jnp.asarray(ds.images)
+
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params["knot_deltas"])
+
+    @jax.jit
+    def step(deltas, opt_state, frame):
+        def loss_fn(d):
+            p = dict(params, knot_deltas=d)
+            out = imf.render_frame(p, scene, frame, cfg.model, sh_degree=0)
+            return jnp.mean((out.blurred_ldr - images[frame]) ** 2)
+
+        l, grad = jax.value_and_grad(loss_fn)(deltas)
+        u, opt_state = opt.update(grad, opt_state)
+        return optax.apply_updates(deltas, u), opt_state, l
+
+    deltas = params["knot_deltas"]
+    for i in range(250):
+        deltas, opt_state, l = step(deltas, opt_state, jnp.asarray(i % 4))
+    final = np.abs(np.asarray(deltas)).mean()
+    init = np.abs(np.asarray(init_deltas)).mean()
+    assert final < 0.6 * init, (final, init)
+    assert np.isfinite(float(l))
+
+
+@pytest.mark.slow
+def test_ladder4_full_joint_smoke(rng):
+    """Full joint model (poses + exposures + CRF + densify) trains
+    stably and improves the blurred-frame PSNR."""
+    ds = dataset_mod.make_synthetic_dataset(
+        seed=9, n_gaussians=80, n_frames=4, n_virtual=4, size=24
+    )
+    cfg = base_cfg(num_virtual_views=4)
+    cfg.model.crf.kind = "mlp"
+    cfg.model.crf.hidden = 8
+    cfg.densify.enabled = True
+    cfg.densify.start_iter = 20
+    cfg.densify.interval = 25
+    cfg.densify.grad_threshold = 1e-4
+    cfg.optim.max_steps = 90
+    t = Trainer(cfg, ds)
+    first_psnrs, last_psnrs = [], []
+    for i in range(cfg.optim.max_steps):
+        out = t.run_step()
+        (first_psnrs if i < 10 else last_psnrs).append(out["psnr"])
+    assert np.mean(last_psnrs[-10:]) > np.mean(first_psnrs), (
+        np.mean(first_psnrs), np.mean(last_psnrs[-10:])
+    )
