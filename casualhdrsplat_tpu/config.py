@@ -28,7 +28,7 @@ class RasterizeConfig:
     packed: bool = True
     # Stream budget = stream_factor * N intersection slots per view; the
     # depth-sorted stream is truncated (and reported) beyond it.
-    stream_factor: int = 8
+    stream_factor: int = 6
     near_plane: float = 0.05  # SURVEY.md hyperparameter defaults
     alpha_clip: float = 0.99
     alpha_threshold: float = 1.0 / 255.0

@@ -199,9 +199,10 @@ class StreamChunks(NamedTuple):
 
 
 def stream_budget(n: int, mtpg: int, num_tiles: int, chunk: int) -> int:
-    """Static chunk-count bound: every stream block once + one boundary
-    block + one empty-tile chunk per tile."""
-    return n * mtpg // chunk + 2 * num_tiles + 1
+    """Static chunk-count bound: per tile, blocks spanned <= len/chunk + 1
+    (empty tiles contribute exactly 1), so the sum is bounded by
+    stream/chunk + num_tiles."""
+    return n * mtpg // chunk + num_tiles + 1
 
 
 def pack_stream_chunks(

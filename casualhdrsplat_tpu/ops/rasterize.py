@@ -140,7 +140,7 @@ def _rasterize_packed(
     # static per-view stream budget (rounded to whole chunks)
     s_budget = min(n * cfg.max_tiles_per_gaussian, cfg.stream_factor * n)
     s_budget = -(-s_budget // g) * g
-    c_budget = s_budget // g + 2 * num_tiles + 1
+    c_budget = s_budget // g + num_tiles + 1  # tight: see binning.stream_budget
     sentinel = v * num_tiles  # one junk output row shared by all views
 
     def per_view(viewmat, view_colors, view_idx):

@@ -215,14 +215,21 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32, precision=_HIGHEST,
         )
 
+        # ONE wide (G,G)@(G,4P) matmul for all four channel prefixes
+        # (lane-concatenated) instead of four (G,P) matmuls
+        p_pix = w.shape[1]
+        cw_cat = jnp.concatenate(
+            [c4[:, cch : cch + 1] * w for cch in range(4)], axis=1
+        )  # (G, 4P)
+        pc_cat = _mm(l_incl, cw_cat)
         term2 = jnp.zeros_like(w)
         new_prefix = []
         for cch in range(4):
-            cw = c4[:, cch : cch + 1] * w
-            pc = prefix4[cch : cch + 1, :] + _mm(l_incl, cw)
+            cw_c = cw_cat[:, cch * p_pix : (cch + 1) * p_pix]
+            pc = prefix4[cch : cch + 1, :] + pc_cat[:, cch * p_pix : (cch + 1) * p_pix]
             term2 = term2 + (c4_tot[cch : cch + 1, :] - pc) * g4[cch : cch + 1, :]
             new_prefix.append(
-                prefix4[cch : cch + 1, :] + jnp.sum(cw, 0, keepdims=True)
+                prefix4[cch : cch + 1, :] + jnp.sum(cw_c, 0, keepdims=True)
             )
 
         cg = jax.lax.dot_general(

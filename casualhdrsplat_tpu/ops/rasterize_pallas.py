@@ -182,14 +182,19 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32, precision=_HIGHEST,
         )  # (G,4)
 
-        # suffix-sum term, channel by channel (avoids (G,4,P) temporaries)
+        # suffix-sum term: one wide lane-concatenated prefix matmul
+        p_pix = w.shape[1]
+        cw_cat = jnp.concatenate(
+            [c4[:, cc : cc + 1] * w for cc in range(4)], axis=1
+        )  # (G, 4P)
+        pc_cat = _mm(l_incl, cw_cat)
         term2 = jnp.zeros_like(w)
         new_prefix_rows = []
         for c in range(4):
-            cw = c4[:, c : c + 1] * w  # (G,P)
-            pc = prefix4[c : c + 1, :] + _mm(l_incl, cw)  # inclusive prefix
+            cw_c = cw_cat[:, c * p_pix : (c + 1) * p_pix]
+            pc = prefix4[c : c + 1, :] + pc_cat[:, c * p_pix : (c + 1) * p_pix]
             term2 = term2 + (c4_tot[c : c + 1, :] - pc) * g4[c : c + 1, :]
-            new_prefix_rows.append(prefix4[c : c + 1, :] + jnp.sum(cw, 0, keepdims=True))
+            new_prefix_rows.append(prefix4[c : c + 1, :] + jnp.sum(cw_c, 0, keepdims=True))
         prefix4_out = jnp.concatenate(new_prefix_rows, axis=0)
 
         cg = jax.lax.dot_general(

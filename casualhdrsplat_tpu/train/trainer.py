@@ -47,8 +47,24 @@ class Trainer:
             cfg.model,
             jax.random.PRNGKey(cfg.seed),
         )
+        # mesh-parallel when the parallel config asks for >1 device
+        # (SURVEY.md P1-P5): params/optimizer shard over (data, gauss) and
+        # the train step renders through the shard_map path.
+        self.mesh = None
+        if cfg.parallel.data * cfg.parallel.gauss > 1:
+            from casualhdrsplat_tpu.parallel import mesh as mesh_mod
+            from casualhdrsplat_tpu.parallel import sharding as shard_mod
+
+            self.mesh = mesh_mod.make_mesh(cfg.parallel)
+            self.params = shard_mod.shard_params(self.params, self.mesh)
         self.opt = optim_mod.make_optimizer(cfg.optim, self.scene_extent)
         self.opt_state = self.opt.init(self.params)
+        if self.mesh is not None:
+            from casualhdrsplat_tpu.parallel import sharding as shard_mod
+
+            self.opt_state = shard_mod.shard_opt_state(
+                self.opt_state, self.params, self.mesh
+            )
         self.adc = densify_mod.AdcState.zero(cfg.model.max_gaussians)
         self.images = jnp.asarray(self.dataset.images)
         self.step = 0
@@ -68,10 +84,18 @@ class Trainer:
         offset = jnp.zeros((cfg.model.max_gaussians, 2))
 
         def loss_fn(p, off):
-            out = imf.render_frame(
-                p, self.scene, frame_id, cfg.model,
-                sh_degree=sh_degree, means2d_offset=off,
-            )
+            if self.mesh is not None:
+                from casualhdrsplat_tpu.parallel import render as prender
+
+                out = prender.render_frame_sharded(
+                    p, self.scene, frame_id, cfg.model, self.mesh,
+                    sh_degree=sh_degree, means2d_offset=off,
+                )
+            else:
+                out = imf.render_frame(
+                    p, self.scene, frame_id, cfg.model,
+                    sh_degree=sh_degree, means2d_offset=off,
+                )
             photo = losses.photometric(
                 out.blurred_ldr, target, cfg.loss.ssim_lambda
             )
@@ -194,11 +218,24 @@ class Trainer:
         if len(idx) == 0:
             idx = self.dataset.train_indices[:2]
         psnrs, ssims = [], []
-        for i in idx:
-            out = imf.render_frame(
-                self.params, self.scene, jnp.asarray(int(i)), self.cfg.model,
-                sh_degree=self.active_sh_degree(),
+        if self.mesh is not None:
+            from casualhdrsplat_tpu.parallel import render as prender
+
+            render = jax.jit(
+                lambda p, fid: prender.render_frame_sharded(
+                    p, self.scene, fid, self.cfg.model, self.mesh,
+                    sh_degree=self.active_sh_degree(),
+                )
             )
+        else:
+            render = jax.jit(
+                lambda p, fid: imf.render_frame(
+                    p, self.scene, fid, self.cfg.model,
+                    sh_degree=self.active_sh_degree(),
+                )
+            )
+        for i in idx:
+            out = render(self.params, jnp.asarray(int(i)))
             target = self.images[int(i)]
             psnrs.append(float(losses.psnr(out.blurred_ldr, target)))
             ssims.append(float(losses.ssim(out.blurred_ldr, target)))
