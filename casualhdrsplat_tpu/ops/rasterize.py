@@ -174,11 +174,11 @@ def _rasterize_packed(
             seg_lo=chunks.seg_lo + view_idx * s_budget,
             seg_hi=chunks.seg_hi + view_idx * s_budget,
         )
-        return stream, chunks, proj.radii, dropped
+        return stream, chunks, proj.radii, proj.depths, dropped
 
     color_axis = 0 if colors.ndim == 3 else None
     view_ids = jnp.arange(v, dtype=jnp.int32)
-    streams, chunks_v, radii, dropped = jax.vmap(
+    streams, chunks_v, radii, depths, dropped = jax.vmap(
         per_view, in_axes=(0, color_axis, 0)
     )(viewmats, colors, view_ids)
 
@@ -206,5 +206,5 @@ def _rasterize_packed(
     alphas = jnp.clip(out4[:, 3], 0.0, 1.0)
     if background is not None:
         images = images + (1.0 - alphas)[..., None] * background[None, None, None, :]
-    aux = RasterizeAux(radii=radii, depths=radii, num_dropped=jnp.sum(dropped))
+    aux = RasterizeAux(radii=radii, depths=depths, num_dropped=jnp.sum(dropped))
     return images, alphas, aux

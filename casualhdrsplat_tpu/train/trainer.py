@@ -234,12 +234,24 @@ class Trainer:
                     sh_degree=self.active_sh_degree(),
                 )
             )
+        from casualhdrsplat_tpu.models import perceptual
+
+        lpips_vals = []
         for i in idx:
             out = render(self.params, jnp.asarray(int(i)))
             target = self.images[int(i)]
             psnrs.append(float(losses.psnr(out.blurred_ldr, target)))
             ssims.append(float(losses.ssim(out.blurred_ldr, target)))
-        return {"eval_psnr": float(np.mean(psnrs)), "eval_ssim": float(np.mean(ssims))}
+            lp = perceptual.lpips(np.asarray(out.blurred_ldr), np.asarray(target))
+            if lp is not None:
+                lpips_vals.append(lp)
+        metrics = {
+            "eval_psnr": float(np.mean(psnrs)),
+            "eval_ssim": float(np.mean(ssims)),
+        }
+        if lpips_vals:
+            metrics["eval_lpips"] = float(np.mean(lpips_vals))
+        return metrics
 
     def save(self, out_dir: str) -> str:
         path = os.path.join(os.path.abspath(out_dir), f"step_{self.step}")

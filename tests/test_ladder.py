@@ -163,3 +163,31 @@ def test_ladder4_full_joint_smoke(rng):
     assert np.mean(last_psnrs[-10:]) > np.mean(first_psnrs), (
         np.mean(first_psnrs), np.mean(last_psnrs[-10:])
     )
+
+
+@pytest.mark.slow
+def test_ladder1_spec_cpu_fwd_bwd(rng):
+    """BASELINE config 1 AT SPEC: one 800x800 sharp LDR frame over a
+    ~10k-Gaussian scene, fixed exposure, identity CRF — fwd+bwd runs on
+    CPU with finite gradients (the 'CPU-runnable fwd+bwd check')."""
+    from casualhdrsplat_tpu.config import RasterizeConfig
+    from casualhdrsplat_tpu.ops import rasterize
+
+    cloud = synthetic.random_cloud(rng, 10_000, scale_range=(0.01, 0.04))
+    cam = synthetic.orbit_camera(0.0, width=800, img_height=800)
+    cfg = RasterizeConfig(
+        tile_h=16, tile_w=16, tile_capacity=512, max_tiles_per_gaussian=16,
+        chunk=64, backend="xla", packed=False,
+    )
+
+    def loss(m):
+        imgs, _, _ = rasterize.rasterize(
+            m, cloud.quats, cloud.scales, cloud.opacities, cloud.colors,
+            cam.viewmat[None], cam.fx, cam.fy, cam.cx, cam.cy, 800, 800, cfg,
+        )
+        return jnp.mean((imgs[0] - 0.5) ** 2)
+
+    l, g = jax.jit(jax.value_and_grad(loss))(cloud.means3d)
+    assert np.isfinite(float(l))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
