@@ -175,4 +175,10 @@ def load_dataset(cfg: DataConfig) -> Dataset:
         return load_colmap_dataset(cfg.path, downscale=cfg.downscale).split(
             cfg.eval_every
         )
+    if cfg.source == "blender":
+        from casualhdrsplat_tpu.data.blender import load_blender_dataset
+
+        return load_blender_dataset(cfg.path, downscale=cfg.downscale).split(
+            cfg.eval_every
+        )
     raise ValueError(f"unknown data source {cfg.source!r}")

@@ -181,21 +181,33 @@ def render_pose(
     cfg: ModelConfig,
     exposure: Optional[jnp.ndarray] = None,
     hdr_output: bool = False,
+    depth_output: bool = False,
     sh_degree: Optional[int] = None,
 ):
     """Eval-time rendering from an arbitrary pose (SURVEY.md §3.4 / C20):
-    novel-view LDR (CRF applied at `exposure`), novel-view HDR
-    (linear radiance, CRF skipped), and — by sweeping `exposure` — HDR
-    exposure editing (teaser.png c.1)."""
+    novel-view LDR (CRF applied at `exposure`), novel-view HDR (linear
+    radiance, CRF skipped), expected-depth maps (`depth_output`), and —
+    by sweeping `exposure` — HDR exposure editing (teaser.png c.1)."""
     deg = cfg.sh_degree if sh_degree is None else sh_degree
     act = gauss_mod.activate(params["gaussians"])
-    colors = gauss_mod.colors_for_view(act, lie.se3_inverse(viewmat), deg)
+    if depth_output:
+        # alpha-composited expected depth: per-Gaussian camera-space z as
+        # the "radiance"; normalize by alpha outside
+        z = jnp.sum(act.means3d * viewmat[2, :3], axis=-1) + viewmat[2, 3]
+        colors = jnp.tile(jnp.maximum(z, 0.0)[:, None], (1, 3))
+    else:
+        colors = gauss_mod.colors_for_view(act, lie.se3_inverse(viewmat), deg)
     hdr, alphas, aux = rast_mod.rasterize(
         act.means3d, act.quats, act.scales, act.opacities, colors[None],
         viewmat[None], scene.fx, scene.fy, scene.cx, scene.cy,
         scene.width, scene.height, cfg.rasterize,
-        background=jnp.ones((3,)) if cfg.white_background else None,
+        background=jnp.ones((3,))
+        if (cfg.white_background and not depth_output)
+        else None,
     )
+    if depth_output:
+        depth = hdr[0, :, :, 0] / jnp.maximum(alphas[0], 1e-6)
+        return depth, alphas[0], aux
     if hdr_output:
         return hdr[0], alphas[0], aux
     dt = exposure if exposure is not None else jnp.asarray(1.0)
