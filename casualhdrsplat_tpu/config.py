@@ -7,9 +7,7 @@ BASELINE.json config-ladder presets ship as `PRESETS`.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
 
 
 @dataclass

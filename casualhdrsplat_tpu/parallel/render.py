@@ -22,8 +22,7 @@ auto-sharding, so GSPMD fuses their collectives with the optimizer's.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +33,6 @@ from casualhdrsplat_tpu.geometry import lie
 from casualhdrsplat_tpu.models import crf as crf_mod
 from casualhdrsplat_tpu.models import gaussians as gauss_mod
 from casualhdrsplat_tpu.ops import binning
-from casualhdrsplat_tpu.ops import sh as sh_ops
 from casualhdrsplat_tpu.ops.composite import CompositeStatics, composite_tiles
 from casualhdrsplat_tpu.ops.projection import project_gaussians
 from casualhdrsplat_tpu.ops.rasterize import resolve_backend

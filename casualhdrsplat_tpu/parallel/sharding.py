@@ -9,7 +9,6 @@ with their parameter shards).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from casualhdrsplat_tpu.parallel.mesh import GAUSS_AXIS

@@ -10,10 +10,8 @@ ecosystem (SURVEY.md C21 "PLY export ... ecosystem interop").
 from __future__ import annotations
 
 import os
-import struct
 from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 
 import orbax.checkpoint as ocp
