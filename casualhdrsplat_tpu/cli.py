@@ -36,7 +36,23 @@ def cmd_train(args):
     runtime.setup()
     cfg = _build_cfg(args)
     t = _make_trainer(cfg, args.checkpoint)
-    last = t.train()
+    if getattr(args, "resume", False) and not args.checkpoint:
+        from casualhdrsplat_tpu.parallel.distributed import resume_or_start
+
+        step = resume_or_start(t, os.path.join(cfg.out_dir, cfg.name))
+        if step:
+            print(f"resumed from step {step}")
+    server = None
+    if getattr(args, "viewer", False):
+        from casualhdrsplat_tpu.viewer.server import ViewerServer, make_orbit_render_fn
+
+        server = ViewerServer(make_orbit_render_fn(t), port=args.viewer_port).start()
+        print(f"viewer at http://localhost:{server.port}/")
+    try:
+        last = t.train()
+    finally:
+        if server is not None:
+            server.stop()
     print("final:", last)
 
 
@@ -118,6 +134,11 @@ def main(argv=None):
 
     sp = sub.add_parser("train")
     common(sp)
+    sp.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in out_dir")
+    sp.add_argument("--viewer", action="store_true",
+                    help="serve a live web viewer during training")
+    sp.add_argument("--viewer-port", type=int, default=7007)
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("eval")
