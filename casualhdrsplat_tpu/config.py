@@ -30,21 +30,27 @@ class RasterizeConfig:
     near_plane: float = 0.05  # SURVEY.md hyperparameter defaults
     alpha_clip: float = 0.99
     alpha_threshold: float = 1.0 / 255.0
+    # Kernels may stop compositing a tile once every pixel's transmittance
+    # is below this (the oracle has no early stop; CLAUDE.md invariant).
     transmittance_eps: float = 1e-4
+    # gsplat-style antialiased mode: opacity compensated by
+    # sqrt(det(cov2d)/det(cov2d + blur)) (ops/projection.py).
+    antialias: bool = False
     backend: str = "auto"  # "pallas" | "oracle" | "auto"
 
 
 @dataclass
 class CRFConfig:
+    """The mixture-of-sigmoids CRF is monotone BY CONSTRUCTION (models/
+    crf.py), so there is no monotonicity knob; its smoothness prior weight
+    lives in LossConfig.crf_smoothness_weight."""
+
     kind: str = "mlp"  # "identity" | "gamma" | "mlp"
-    hidden: int = 32
-    layers: int = 2
+    hidden: int = 32  # sigmoid units per channel
     gamma: float = 2.2
-    monotone: bool = True
     # Log-exposure normalization range fed to the MLP.
     log_min: float = -10.0
     log_max: float = 4.0
-    smoothness_weight: float = 1e-3
 
 
 @dataclass

@@ -46,9 +46,9 @@ def load_blender_dataset(
         fp = os.path.join(path, fr["file_path"])
         if not os.path.splitext(fp)[1]:
             fp += ".png"
-        img = _load_image(fp, downscale)
-        if white_background and img.shape[-1] == 3:
-            pass  # alpha already dropped by _load_image
+        img = _load_image(
+            fp, downscale, background=1.0 if white_background else 0.0
+        )
         images.append(img)
         c2w = np.asarray(fr["transform_matrix"], np.float32) @ _GL_TO_CV
         w2c = np.linalg.inv(c2w)

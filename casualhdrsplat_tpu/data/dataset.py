@@ -69,7 +69,10 @@ class Dataset:
         return float(np.linalg.norm(cams - cams.mean(0), axis=1).max() + 1.0)
 
 
-def _load_image(path: str, downscale: int = 1) -> np.ndarray:
+def _load_image(path: str, downscale: int = 1, background: float = 0.0) -> np.ndarray:
+    """Load an image as [H,W,3] float32 in [0,1].  RGBA inputs are alpha-
+    composited onto `background` (rgb*a + (1-a)*bg — NeRF-synthetic frames
+    carry meaning only in alpha-premultiplied form; ADVICE r1, medium)."""
     try:
         import imageio.v3 as iio
 
@@ -79,11 +82,15 @@ def _load_image(path: str, downscale: int = 1) -> np.ndarray:
 
         img = np.asarray(Image.open(path))
     img = img.astype(np.float32)
-    if img.dtype == np.uint8 or img.max() > 1.5:
+    if img.max() > 1.5:
         img = img / 255.0
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=-1)
-    img = img[..., :3]
+    if img.shape[-1] == 4:
+        alpha = img[..., 3:4]
+        img = img[..., :3] * alpha + (1.0 - alpha) * background
+    else:
+        img = img[..., :3]
     if downscale > 1:
         img = img[::downscale, ::downscale]
     return img
@@ -94,12 +101,16 @@ def load_colmap_dataset(
     images_dir: Optional[str] = None,
     downscale: int = 1,
     timestamps: Optional[np.ndarray] = None,
+    fps: Optional[float] = None,
 ) -> Dataset:
     """Load a COLMAP reconstruction.  `path` contains `sparse/0` (or is the
     model dir itself); `images_dir` defaults to `<path>/images`.
 
-    Frame timestamps default to the sorted-by-name frame index — correct
-    for video frames extracted at a constant rate (SURVEY.md C19).
+    Frame timestamps default to the frame NUMBER parsed from each
+    REGISTERED image name (divided by `fps` when given) — correct for
+    constant-rate video frames even when SfM dropped some of them
+    (SURVEY.md C19; ADVICE r1, low).  An explicit `timestamps` array must
+    align with the registered images in name-sorted order.
     """
     model_dir = path
     for cand in ("sparse/0", "sparse", "."):
@@ -123,7 +134,11 @@ def load_colmap_dataset(
     fx, fy, cx, cy = cam0.pinhole()
     s = 1.0 / downscale
     if timestamps is None:
-        timestamps = np.arange(len(ordered), dtype=np.float32)
+        from casualhdrsplat_tpu.data.video import timestamps_from_names
+
+        timestamps = timestamps_from_names(
+            [im.name for im in ordered], fps or 1.0
+        )
     return Dataset(
         images=np.stack(imgs),
         timestamps=np.asarray(timestamps, np.float32),

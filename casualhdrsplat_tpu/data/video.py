@@ -110,7 +110,9 @@ def prepare_video_dataset(
             f"no COLMAP model under {workdir}/sparse — run COLMAP on "
             f"{frames_dir} first (external preprocessing, SURVEY.md §3.5)"
         )
+    # Timestamps are derived inside load_colmap_dataset from the names of
+    # the REGISTERED images (not this directory listing): SfM commonly
+    # drops blurry casual-video frames, and a listing-based assignment
+    # would shift every later timestamp onto the wrong frame.
     fps = probe_fps(video_path)
-    names = sorted(os.listdir(frames_dir))
-    ts = timestamps_from_names(names, fps)
-    return load_colmap_dataset(workdir, downscale=downscale, timestamps=ts)
+    return load_colmap_dataset(workdir, downscale=downscale, fps=fps)

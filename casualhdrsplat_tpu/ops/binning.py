@@ -216,9 +216,12 @@ def pack_stream_chunks(
     m: int,
     chunk: int,
     budget: int,
-    out_row_offset=0,
-    sentinel_row: int = 0,
+    out_row_offset,
+    sentinel_row: int,
 ) -> StreamChunks:
+    """`sentinel_row` MUST be a dedicated junk output row (>= the number of
+    real tiles): unused budget chunks alias it with first=1, which zeroes
+    whatever row they point at (ADVICE r1, low)."""
     num_tiles = seg_len.shape[0]
     g = chunk
     ends = starts[:-1] + seg_len

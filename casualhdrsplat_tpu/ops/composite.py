@@ -46,6 +46,10 @@ class CompositeStatics(NamedTuple):
     alpha_clip: float
     alpha_threshold: float
     backend: str  # "xla" | "pallas"
+    # Kernels may stop/skip once every pixel's transmittance is below this
+    # (the oracle and the XLA path have no early stop — CLAUDE.md
+    # invariant: approximation strictly below transmittance_eps).
+    transmittance_eps: float = 1e-4
 
 
 def pixel_coords(origin_x, origin_y, tile_h: int, tile_w: int):

@@ -76,7 +76,7 @@ def rasterize(
     def per_view(viewmat, view_colors):
         proj = project_gaussians(
             means3d, quats, scales, viewmat, fx, fy, cx, cy, width, height,
-            near_plane=cfg.near_plane,
+            near_plane=cfg.near_plane, antialias=cfg.antialias,
         )
         if means2d_offset is not None:
             proj = proj._replace(means2d=proj.means2d + means2d_offset)
@@ -106,6 +106,7 @@ def rasterize(
         alpha_clip=cfg.alpha_clip,
         alpha_threshold=cfg.alpha_threshold,
         backend=backend,
+        transmittance_eps=cfg.transmittance_eps,
     )
     out4 = composite_tiles(
         gathered, statics, counts=counts.reshape(tt)
@@ -146,7 +147,7 @@ def _rasterize_packed(
     def per_view(viewmat, view_colors, view_idx):
         proj = project_gaussians(
             means3d, quats, scales, viewmat, fx, fy, cx, cy, width, height,
-            near_plane=cfg.near_plane,
+            near_plane=cfg.near_plane, antialias=cfg.antialias,
         )
         if means2d_offset is not None:
             proj = proj._replace(means2d=proj.means2d + means2d_offset)
@@ -196,7 +197,7 @@ def _rasterize_packed(
     statics = CompositeStatics(
         num_views=v, ntx=ntx, nty=nty, tile_h=th, tile_w=tw, chunk=g,
         alpha_clip=cfg.alpha_clip, alpha_threshold=cfg.alpha_threshold,
-        backend="pallas",
+        backend="pallas", transmittance_eps=cfg.transmittance_eps,
     )
     out4 = rasterize_packed.composite_stream(stream, chunks, sentinel + 1, statics)
     out4 = out4[:sentinel].reshape(v, nty, ntx, 4, th, tw)

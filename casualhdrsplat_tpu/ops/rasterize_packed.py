@@ -34,11 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from casualhdrsplat_tpu.ops import binning
 from casualhdrsplat_tpu.ops.composite import CompositeStatics, _alpha_terms
-from casualhdrsplat_tpu.ops.rasterize_pallas import (
-    TRANSMITTANCE_EPS,
-    _mm,
-    _tri_strict,
-)
+from casualhdrsplat_tpu.ops.rasterize_pallas import _mm, _tri_strict
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -97,7 +93,7 @@ def _fwd_kernel(
 
     t_in = t_scr[...]
 
-    @pl.when(jnp.max(t_in) >= TRANSMITTANCE_EPS)
+    @pl.when(jnp.max(t_in) >= statics.transmittance_eps)
     def _():
         chunk = chunks_ref[:]  # (G, 16)
         alpha, *_ = _alpha_terms(
@@ -184,7 +180,7 @@ def _bwd_kernel(
         p4_scr[...] = jnp.zeros_like(p4_scr)
 
     t_in = t_scr[...]
-    live_chunk = jnp.max(t_in) >= TRANSMITTANCE_EPS
+    live_chunk = jnp.max(t_in) >= statics.transmittance_eps
 
     # d output lives in STREAM space (same revisiting pattern as the
     # forward's tile rows): zero the block on its first visit, accumulate

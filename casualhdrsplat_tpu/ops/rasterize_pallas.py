@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from casualhdrsplat_tpu.ops import binning
 from casualhdrsplat_tpu.ops.composite import CompositeStatics, _alpha_terms
 
-TRANSMITTANCE_EPS = 1e-4
+TRANSMITTANCE_EPS = 1e-4  # default for CompositeStatics.transmittance_eps
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
@@ -83,7 +83,9 @@ def _fwd_kernel(
 
     def cond(state):
         ci, t_carry, _ = state
-        return jnp.logical_and(ci < n_chunks, jnp.max(t_carry) >= TRANSMITTANCE_EPS)
+        return jnp.logical_and(
+            ci < n_chunks, jnp.max(t_carry) >= statics.transmittance_eps
+        )
 
     def body(state):
         ci, t_carry, acc = state
@@ -163,7 +165,9 @@ def _bwd_kernel(
 
     def cond(state):
         ci, t_carry, _ = state
-        return jnp.logical_and(ci < n_chunks, jnp.max(t_carry) >= TRANSMITTANCE_EPS)
+        return jnp.logical_and(
+            ci < n_chunks, jnp.max(t_carry) >= statics.transmittance_eps
+        )
 
     def body(state):
         ci, t_carry, prefix4 = state

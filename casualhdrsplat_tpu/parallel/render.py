@@ -80,6 +80,7 @@ def rasterize_sharded(
         alpha_clip=cfg.alpha_clip,
         alpha_threshold=cfg.alpha_threshold,
         backend=resolve_backend(cfg),
+        transmittance_eps=cfg.transmittance_eps,
     )
     if means2d_offset is None:
         means2d_offset = jnp.zeros((gauss_params["means"].shape[0], 2))
@@ -102,6 +103,7 @@ def rasterize_sharded(
             proj = project_gaussians(
                 act.means3d, act.quats, act.scales, viewmat,
                 fx, fy, cx, cy, width, height, near_plane=cfg.near_plane,
+                antialias=cfg.antialias,
             )
             proj = proj._replace(means2d=proj.means2d + offset)
             opa = jnp.where(proj.valid, act.opacities * proj.compensation, 0.0)
@@ -111,9 +113,9 @@ def rasterize_sharded(
             aux = jnp.stack(
                 [proj.radii, proj.depths, proj.valid.astype(jnp.float32)], axis=-1
             )
-            return payload, aux, proj.radii
+            return payload, aux, proj.radii, proj.depths
 
-        payload_l, aux_l, radii_l = jax.vmap(per_view)(vms)
+        payload_l, aux_l, radii_l, depths_l = jax.vmap(per_view)(vms)
 
         # P2 -> P1 pivot: gather packets along gauss, then split tiles.
         payload = jax.lax.all_gather(
@@ -177,7 +179,7 @@ def rasterize_sharded(
         dropped_total = jax.lax.pmean(
             jax.lax.psum(jnp.sum(dropped), DATA_AXIS), GAUSS_AXIS
         )
-        return out4, radii_l, dropped_total
+        return out4, radii_l, depths_l, dropped_total
 
     in_specs = (
         jax.tree.map(lambda _: P(GAUSS_AXIS), gauss_params),
@@ -187,9 +189,10 @@ def rasterize_sharded(
     out_specs = (
         P(DATA_AXIS, GAUSS_AXIS),
         P(DATA_AXIS, GAUSS_AXIS),
+        P(DATA_AXIS, GAUSS_AXIS),
         P(),
     )
-    out4, radii, dropped = jax.shard_map(
+    out4, radii, depths, dropped = jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
     )(gauss_params, means2d_offset, viewmats)
 
@@ -209,6 +212,7 @@ def rasterize_sharded(
 
     out4 = to_replicated(out4)
     radii = to_replicated(radii)
+    depths = to_replicated(depths)
     v = out4.shape[0]
     # split one axis per reshape (multi-axis splits need explicit output
     # shardings under JAX's sharding-typed reshape rule)
@@ -218,7 +222,7 @@ def rasterize_sharded(
     out4 = out4[:, :, :height, :width]
     hdr = out4[:num_views, :3].transpose(0, 2, 3, 1)
     alphas = jnp.clip(out4[:num_views, 3], 0.0, 1.0)
-    return hdr, alphas, radii[:num_views], dropped
+    return hdr, alphas, radii[:num_views], depths[:num_views], dropped
 
 
 def render_frame_sharded(
@@ -248,7 +252,7 @@ def render_frame_sharded(
             imf.poses_at(params, scene, jnp.array([t_i]), cfg), (n, 1, 1)
         )
 
-    hdr, alphas, radii, dropped = rasterize_sharded(
+    hdr, alphas, radii, depths, dropped = rasterize_sharded(
         params["gaussians"], viewmats,
         scene.fx, scene.fy, scene.cx, scene.cy, scene.width, scene.height,
         cfg.rasterize, mesh, deg, means2d_offset=means2d_offset,
@@ -257,7 +261,7 @@ def render_frame_sharded(
         hdr = hdr + (1.0 - alphas)[..., None]
     ldr = crf_mod.apply(params["crf"], hdr * dt, cfg.crf)
     blurred = jnp.mean(ldr, axis=0)
-    aux = RasterizeAux(radii=radii, depths=radii, num_dropped=dropped)
+    aux = RasterizeAux(radii=radii, depths=depths, num_dropped=dropped)
     return imf.FrameRender(
         blurred_ldr=blurred, sharp_ldr=ldr, sharp_hdr=hdr, alphas=alphas, aux=aux
     )

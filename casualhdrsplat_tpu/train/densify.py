@@ -45,13 +45,27 @@ class AdcState(NamedTuple):
         )
 
 
-def accumulate(state: AdcState, means2d_grad: jnp.ndarray, radii: jnp.ndarray):
+def accumulate(
+    state: AdcState,
+    means2d_grad: jnp.ndarray,
+    radii: jnp.ndarray,
+    image_size: Tuple[int, int] | None = None,
+):
     """Update per-Gaussian statistics after one training step.
 
-    means2d_grad: [N,2]; radii: [V,N] (0 where culled).
+    means2d_grad: [N,2] PIXEL-space d loss / d means2d; radii: [V,N]
+    (0 where culled); image_size: (width, height) — scales the pixel-space
+    gradient by [w/2, h/2] to the NDC-half-extent convention the lineage's
+    `grad_threshold` constant assumes (gsplat multiplies grads the same
+    way before thresholding).
     """
     r = jnp.max(radii, axis=0)
     visible = r > 0
+    if image_size is not None:
+        w, h = image_size
+        means2d_grad = means2d_grad * jnp.asarray(
+            [0.5 * w, 0.5 * h], means2d_grad.dtype
+        )
     g = jnp.linalg.norm(means2d_grad, axis=-1)
     return AdcState(
         grad_accum=state.grad_accum + jnp.where(visible, g, 0.0),

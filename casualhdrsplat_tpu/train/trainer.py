@@ -153,7 +153,10 @@ class Trainer:
             self.params, self.opt_state, self.images, jnp.asarray(frame),
             self.active_sh_degree(),
         )
-        self.adc = densify_mod.accumulate(self.adc, g2d, aux["radii"])
+        self.adc = densify_mod.accumulate(
+            self.adc, g2d, aux["radii"],
+            image_size=(self.dataset.width, self.dataset.height),
+        )
         self.step += 1
         d = self.cfg.densify
         if (
@@ -168,7 +171,14 @@ class Trainer:
             )
         else:
             report = None
-        if d.enabled and self.step % d.opacity_reset_interval == 0:
+        # Reset only while densification is active: the lineage stops at
+        # stop_iter, else the FINAL checkpoint could be saved with every
+        # opacity clamped near-transparent (ADVICE r1, high).
+        if (
+            d.enabled
+            and self.step < d.stop_iter
+            and self.step % d.opacity_reset_interval == 0
+        ):
             self.params = dict(
                 self.params,
                 gaussians=densify_mod.reset_opacity(self.params["gaussians"]),

@@ -9,7 +9,7 @@ import numpy as np
 from casualhdrsplat_tpu.data import colmap, dataset, synthetic
 
 
-def write_fake_colmap_bin(model_dir):
+def write_fake_colmap_bin(model_dir, names=(b"frame_000.png", b"frame_001.png")):
     os.makedirs(model_dir, exist_ok=True)
     # cameras.bin: one PINHOLE camera
     with open(os.path.join(model_dir, "cameras.bin"), "wb") as f:
@@ -19,7 +19,7 @@ def write_fake_colmap_bin(model_dir):
     # images.bin: two images
     with open(os.path.join(model_dir, "images.bin"), "wb") as f:
         f.write(struct.pack("<Q", 2))
-        for i, name in ((1, b"frame_000.png"), (2, b"frame_001.png")):
+        for i, name in enumerate(names, start=1):
             f.write(struct.pack("<idddddddi", i, 1.0, 0.0, 0.0, 0.0,
                                 0.1 * i, 0.2, 0.3, 1))
             f.write(name + b"\x00")
@@ -48,6 +48,41 @@ def test_colmap_binary_roundtrip(tmp_path):
     np.testing.assert_allclose(im.viewmat()[:3, 3], [0.1, 0.2, 0.3], atol=1e-6)
     assert xyz.shape == (3, 3)
     np.testing.assert_allclose(rgb[0], [1.0, 128 / 255.0, 0.0], atol=1e-6)
+
+
+def test_load_image_rgba_composites_background(tmp_path):
+    """RGBA frames composite rgb*a + (1-a)*bg instead of silently dropping
+    alpha (ADVICE r1: NeRF-synthetic transparent backgrounds)."""
+    from PIL import Image
+
+    rgba = np.zeros((4, 4, 4), np.uint8)
+    rgba[..., 0] = 200  # red
+    rgba[..., 3] = 0  # fully transparent
+    rgba[0, 0] = [200, 0, 0, 255]  # one opaque pixel
+    path = str(tmp_path / "t.png")
+    Image.fromarray(rgba, "RGBA").save(path)
+
+    on_white = dataset._load_image(path, background=1.0)
+    on_black = dataset._load_image(path, background=0.0)
+    np.testing.assert_allclose(on_white[1, 1], [1.0, 1.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(on_black[1, 1], [0.0, 0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(on_white[0, 0], [200 / 255.0, 0.0, 0.0], atol=1e-6)
+
+
+def test_colmap_timestamps_from_registered_names(tmp_path):
+    """Timestamps come from the frame numbers of REGISTERED images, so an
+    SfM-dropped frame leaves a gap instead of shifting later frames
+    (ADVICE r1, low)."""
+    from PIL import Image
+
+    model_dir = str(tmp_path / "sparse" / "0")
+    write_fake_colmap_bin(model_dir, names=(b"frame_000.png", b"frame_002.png"))
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    for n in ("frame_000.png", "frame_002.png"):
+        Image.fromarray(np.zeros((48, 64, 3), np.uint8)).save(str(img_dir / n))
+    ds = dataset.load_colmap_dataset(str(tmp_path), fps=10.0)
+    np.testing.assert_allclose(ds.timestamps, [0.0, 0.2], atol=1e-6)
 
 
 def test_synthetic_video_fixture(rng):
