@@ -36,6 +36,13 @@ class RasterizeConfig:
     # gsplat-style antialiased mode: opacity compensated by
     # sqrt(det(cov2d)/det(cov2d + blur)) (ops/projection.py).
     antialias: bool = False
+    # Bin/sort ONCE per frame (reference pose = per-Gaussian mean across
+    # the virtual views, radii inflated by the max screen motion) instead
+    # of once per virtual view.  Tile assignment stays a superset of every
+    # view's footprint, so the composite is exact up to depth-ORDER ties
+    # between views (virtual views sit within one exposure window, so
+    # inversions are rare and sub-pixel).  Packed path only.
+    shared_binning: bool = False
     backend: str = "auto"  # "pallas" | "oracle" | "auto"
 
 

@@ -50,6 +50,11 @@ class CompositeStatics(NamedTuple):
     # (the oracle and the XLA path have no early stop — CLAUDE.md
     # invariant: approximation strictly below transmittance_eps).
     transmittance_eps: float = 1e-4
+    # Output-row stride per view for the tile-origin computation
+    # (tile = row % tiles_per_view); 0 = ntx*nty.  The Gaussian-sharded
+    # path uses a PADDED stride (tiles rounded up to the gauss axis) so
+    # each device's row slice stays static (parallel/render.py).
+    tiles_per_view: int = 0
 
 
 def pixel_coords(origin_x, origin_y, tile_h: int, tile_w: int):
@@ -103,16 +108,25 @@ def _chunk_fwd(chunk, px, py, t_in, alpha_clip, alpha_threshold):
     return contrib, t_out
 
 
-def _chunk_bwd(chunk, px, py, t_in, prefix4_in, c4_tot, g4, alpha_clip, alpha_threshold):
+def _chunk_bwd(chunk, px, py, t_in, r_in, tot_dot, g4, alpha_clip, alpha_threshold):
     """Backward for one chunk, FRONT-to-back.
+
+    The suffix term needed for dL/dalpha_k is
+        term2[k] = sum_c (c4_tot_c - prefix4_incl[k]_c) * g4_c .
+    Because g4 does not depend on the slot k, the channel dot commutes
+    with the prefix over k:
+        term2[k] = tot_dot - r_in - cumsum_incl_k( w * (c4 . g4) ),
+    so the carried per-channel prefix collapses to the SCALAR per-pixel
+    carry r = sum_c prefix4_c * g4_c and the per-chunk prefix work is one
+    (G,P) cumsum of u = w * cg instead of a 4x-wide (G,4,P) one — the 4x
+    matmul reduction behind the round-2 backward-kernel speedup.
 
     Args:
       t_in (1,P): transmittance entering this chunk (recomputed carry).
-      prefix4_in (4,P): accumulated c4-weighted contributions of all
-        previous chunks.
-      c4_tot (4,P): full forward output of this tile (residual).
+      r_in (1,P): sum_c (c4-weighted prefix of previous chunks)_c * g4_c.
+      tot_dot (1,P): sum_c c4_tot_c * g4_c (full forward output . grad).
       g4 (4,P): upstream gradient d L / d out4.
-    Returns (d_chunk [G,16], t_out (1,P), prefix4_out (4,P)).
+    Returns (d_chunk [G,16], t_out (1,P), r_out (1,P)).
     """
     alpha, alpha_raw, expf, dx, dy, (cxx, cxy, cyy) = _alpha_terms(
         chunk, px, py, alpha_clip, alpha_threshold
@@ -133,11 +147,6 @@ def _chunk_bwd(chunk, px, py, t_in, prefix4_in, c4_tot, g4, alpha_clip, alpha_th
         precision=jax.lax.Precision.HIGHEST,
     )  # (G,4)
 
-    # prefix over chunks+within chunk of c4-weighted contributions
-    c4w = c4[:, :, None] * w[:, None, :]  # (G,4,P)
-    prefix4_incl = prefix4_in[None] + jnp.cumsum(c4w, axis=0)  # (G,4,P)
-    suffix4 = c4_tot[None] - prefix4_incl  # (G,4,P)
-
     cg = jax.lax.dot_general(
         c4,
         g4,
@@ -145,8 +154,9 @@ def _chunk_bwd(chunk, px, py, t_in, prefix4_in, c4_tot, g4, alpha_clip, alpha_th
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )  # (G,P): c4_k . g4 per pixel
+    u = w * cg  # (G,P)
     term1 = t_k * cg
-    term2 = jnp.einsum("gcp,cp->gp", suffix4, g4)
+    term2 = tot_dot - r_in - jnp.cumsum(u, axis=0)
     one_minus = 1.0 - alpha
     dl_da = jnp.where(alpha > 0.0, term1 - term2 / one_minus, 0.0)
 
@@ -172,8 +182,8 @@ def _chunk_bwd(chunk, px, py, t_in, prefix4_in, c4_tot, g4, alpha_clip, alpha_th
     d_chunk = d_chunk.at[:, binning.COL_R : binning.COL_B + 1].set(d_c4[:, :3])
 
     t_out = t_in * jnp.exp(s_incl[-1:, :])
-    prefix4_out = prefix4_in + jnp.sum(c4w, axis=0)
-    return d_chunk, t_out, prefix4_out
+    r_out = r_in + jnp.sum(u, axis=0, keepdims=True)
+    return d_chunk, t_out, r_out
 
 
 # --------------------------------------------------------------------------
@@ -182,7 +192,7 @@ def _chunk_bwd(chunk, px, py, t_in, prefix4_in, c4_tot, g4, alpha_clip, alpha_th
 
 
 def _tile_origin(tile_index, statics: CompositeStatics):
-    tiles_per_view = statics.ntx * statics.nty
+    tiles_per_view = statics.tiles_per_view or statics.ntx * statics.nty
     t = tile_index % tiles_per_view
     ox = (t % statics.ntx) * statics.tile_w
     oy = (t // statics.ntx) * statics.tile_h
@@ -231,18 +241,19 @@ def _backward_xla(
         ox, oy = _tile_origin(tile_index, statics)
         px, py = pixel_coords(ox, oy, statics.tile_h, statics.tile_w)
         chunks = payload.reshape(cap // g, g, binning.PAYLOAD_DIM)
+        tot_dot = jnp.sum(c4_tot * grad4, axis=0, keepdims=True)  # (1,P)
 
         def body(carry, chunk):
-            t_in, prefix4 = carry
-            d_chunk, t_out, prefix4_out = _chunk_bwd(
-                chunk, px, py, t_in, prefix4, c4_tot, grad4,
+            t_in, r_in = carry
+            d_chunk, t_out, r_out = _chunk_bwd(
+                chunk, px, py, t_in, r_in, tot_dot, grad4,
                 statics.alpha_clip, statics.alpha_threshold,
             )
-            return (t_out, prefix4_out), d_chunk
+            return (t_out, r_out), d_chunk
 
         t_init = jnp.ones((1, p)) + 0.0 * payload[0, 0]
-        p4_init = jnp.zeros((4, p)) + 0.0 * payload[0, 0]
-        (_, _), d_chunks = jax.lax.scan(body, (t_init, p4_init), chunks)
+        r_init = jnp.zeros((1, p)) + 0.0 * payload[0, 0]
+        (_, _), d_chunks = jax.lax.scan(body, (t_init, r_init), chunks)
         return d_chunks.reshape(cap, binning.PAYLOAD_DIM)
 
     return jax.vmap(tile_fn)(gathered, out4, g4, tile_indices)

@@ -144,6 +144,13 @@ def _rasterize_packed(
     c_budget = s_budget // g + num_tiles + 1  # tight: see binning.stream_budget
     sentinel = v * num_tiles  # one junk output row shared by all views
 
+    if cfg.shared_binning and v > 1:
+        return _rasterize_packed_shared(
+            means3d, quats, scales, opacities, colors, viewmats,
+            fx, fy, cx, cy, width, height, cfg, background, means2d_offset,
+            s_budget, c_budget, sentinel,
+        )
+
     def per_view(viewmat, view_colors, view_idx):
         proj = project_gaussians(
             means3d, quats, scales, viewmat, fx, fy, cx, cy, width, height,
@@ -200,12 +207,122 @@ def _rasterize_packed(
         backend="pallas", transmittance_eps=cfg.transmittance_eps,
     )
     out4 = rasterize_packed.composite_stream(stream, chunks, sentinel + 1, statics)
+    images, alphas = _assemble_tiles(
+        out4, sentinel, v, ntx, nty, th, tw, height, width, background
+    )
+    aux = RasterizeAux(radii=radii, depths=depths, num_dropped=jnp.sum(dropped))
+    return images, alphas, aux
+
+
+def _assemble_tiles(out4, sentinel, v, ntx, nty, th, tw, height, width, background):
+    """[rows, 4, P] tile composites -> ([V,H,W,3] images, [V,H,W] alphas)."""
     out4 = out4[:sentinel].reshape(v, nty, ntx, 4, th, tw)
     out4 = out4.transpose(0, 3, 1, 4, 2, 5).reshape(v, 4, nty * th, ntx * tw)
     out4 = out4[:, :, :height, :width]
-    images = out4[:, :3].transpose(0, 2, 3, 1)
-    alphas = jnp.clip(out4[:, 3], 0.0, 1.0)
+    images = out4[:, :3].transpose(0, 2, 3, 1)  # [V,H,W,3]
+    alphas = jnp.clip(out4[:, 3], 0.0, 1.0)  # [V,H,W]
     if background is not None:
         images = images + (1.0 - alphas)[..., None] * background[None, None, None, :]
-    aux = RasterizeAux(radii=radii, depths=depths, num_dropped=jnp.sum(dropped))
+    return images, alphas
+
+
+def _rasterize_packed_shared(
+    means3d, quats, scales, opacities, colors, viewmats,
+    fx, fy, cx, cy, width, height, cfg, background, means2d_offset,
+    s_budget, c_budget, sentinel,
+):
+    """Shared-binning variant of the packed path: ONE (tile, depth) sort at
+    a per-Gaussian reference position (mean over the virtual views) with
+    Chebyshev-inflated radii, reused by every view.
+
+    Exactness argument: for view k, |pixel - means2d_k|_inf <= radii_k
+    implies |pixel - ref|_inf <= cheb_k + radii_k <= r_shared, so the
+    shared bbox covers every view's 3-sigma footprint — a Gaussian is
+    never missing from a tile it touches.  Per-view alpha still evaluates
+    the TRUE per-view payload; the only approximation is the within-tile
+    depth ORDER (shared reference depth instead of per-view depth), which
+    only matters for view-dependent depth inversions inside one exposure
+    window (SURVEY.md C2; VERDICT r1 next-step 1b).
+    """
+    from casualhdrsplat_tpu.ops import rasterize_packed
+
+    v = viewmats.shape[0]
+    n = means3d.shape[0]
+    g = cfg.chunk
+    th, tw = cfg.tile_h, cfg.tile_w
+    ntx, nty = binning.tile_grid(width, height, th, tw)
+    num_tiles = ntx * nty
+
+    def project_view(viewmat):
+        proj = project_gaussians(
+            means3d, quats, scales, viewmat, fx, fy, cx, cy, width, height,
+            near_plane=cfg.near_plane, antialias=cfg.antialias,
+        )
+        if means2d_offset is not None:
+            proj = proj._replace(means2d=proj.means2d + means2d_offset)
+        return proj
+
+    projs = jax.vmap(project_view)(viewmats)  # Projected with [V,...] leaves
+
+    validf = projs.valid.astype(jnp.float32)  # [V,N]
+    denom = jnp.maximum(jnp.sum(validf, axis=0), 1.0)  # [N]
+    ref_m2d = jnp.sum(projs.means2d * validf[..., None], axis=0) / denom[:, None]
+    ref_depth = jnp.sum(projs.depths * validf, axis=0) / denom
+    cheb = jnp.max(jnp.abs(projs.means2d - ref_m2d[None]), axis=-1)  # [V,N]
+    r_shared = jnp.max(jnp.where(projs.valid, cheb + projs.radii, 0.0), axis=0)
+    valid_any = jnp.any(projs.valid, axis=0)
+
+    s_gauss, starts, seg_len = binning.sorted_stream(
+        ref_m2d, r_shared, ref_depth, valid_any,
+        width, height, th, tw, cfg.max_tiles_per_gaussian,
+    )
+    starts_c = jnp.minimum(starts, s_budget)
+    seg_c = jnp.minimum(starts[:-1] + seg_len, s_budget) - starts_c[:-1]
+    dropped = jnp.sum(seg_len) - jnp.sum(seg_c)
+    base = binning.pack_stream_chunks(
+        starts_c, seg_c, s_budget, g, c_budget,
+        out_row_offset=0, sentinel_row=sentinel,
+    )
+    stream_ids = jnp.where(
+        jnp.arange(s_budget) < starts[num_tiles], s_gauss[:s_budget], n
+    )
+
+    def per_view_stream(proj, view_colors):
+        payload = binning.build_payload(proj, view_colors, opacities)
+        return payload[stream_ids]  # [s_budget, 16]
+
+    color_axis = 0 if colors.ndim == 3 else None
+    streams = jax.vmap(per_view_stream, in_axes=(0, color_axis))(projs, colors)
+    stream = streams.reshape(v * s_budget, binning.PAYLOAD_DIM)
+
+    # Replicate the ONE chunk schedule across views with per-view offsets
+    # into the concatenated stream / output rows (same layout the unshared
+    # path builds per view).
+    view_ids = jnp.arange(v, dtype=jnp.int32)[:, None]  # [V,1]
+    used = base.out_row != sentinel
+    out_row = jnp.where(
+        used[None], base.out_row[None] + view_ids * num_tiles, sentinel
+    )
+    chunks = binning.StreamChunks(
+        block_id=(base.block_id[None] + view_ids * (s_budget // g)).reshape(-1),
+        out_row=out_row.reshape(-1).astype(jnp.int32),
+        first=jnp.broadcast_to(base.first[None], (v, c_budget)).reshape(-1),
+        seg_lo=(base.seg_lo[None] + view_ids * s_budget).reshape(-1),
+        seg_hi=(base.seg_hi[None] + view_ids * s_budget).reshape(-1),
+        block_new=jnp.broadcast_to(base.block_new[None], (v, c_budget)).reshape(-1),
+        num_chunks=base.num_chunks * v,
+    )
+
+    statics = CompositeStatics(
+        num_views=v, ntx=ntx, nty=nty, tile_h=th, tile_w=tw, chunk=g,
+        alpha_clip=cfg.alpha_clip, alpha_threshold=cfg.alpha_threshold,
+        backend="pallas", transmittance_eps=cfg.transmittance_eps,
+    )
+    out4 = rasterize_packed.composite_stream(stream, chunks, sentinel + 1, statics)
+    images, alphas = _assemble_tiles(
+        out4, sentinel, v, ntx, nty, th, tw, height, width, background
+    )
+    aux = RasterizeAux(
+        radii=projs.radii, depths=projs.depths, num_dropped=dropped
+    )
     return images, alphas, aux

@@ -55,7 +55,7 @@ def pack_meta(chunks):
 
 
 def _origin_coords(out_row, statics: CompositeStatics):
-    tiles_per_view = statics.ntx * statics.nty
+    tiles_per_view = statics.tiles_per_view or statics.ntx * statics.nty
     t = out_row % tiles_per_view
     ox = (t % statics.ntx) * statics.tile_w
     oy = (t // statics.ntx) * statics.tile_h
@@ -93,7 +93,15 @@ def _fwd_kernel(
 
     t_in = t_scr[...]
 
-    @pl.when(jnp.max(t_in) >= statics.transmittance_eps)
+    # Skip saturated tiles AND empty segments (unused budget chunks carry
+    # seg_lo == seg_hi == 0): an all-masked chunk is a no-op, and skipping
+    # it makes over-provisioned chunk budgets (the sharded path's
+    # worst-case per-device bound) nearly free.
+    @pl.when(
+        jnp.logical_and(
+            jnp.max(t_in) >= statics.transmittance_eps, lo_ref[i] < hi_ref[i]
+        )
+    )
     def _():
         chunk = chunks_ref[:]  # (G, 16)
         alpha, *_ = _alpha_terms(
@@ -144,7 +152,11 @@ def forward(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_rows, 4, p), jnp.float32),
+        # vma: under shard_map (parallel/render.py) outputs vary over the
+        # same mesh axes as the stream operand; empty set elsewhere.
+        out_shape=jax.ShapeDtypeStruct(
+            (num_rows, 4, p), jnp.float32, vma=jax.typeof(stream_payload).vma
+        ),
         cost_estimate=pl.CostEstimate(
             flops=c * g * p * 10,
             bytes_accessed=c * g * pd * 4 + num_rows * 4 * p * 4,
@@ -164,7 +176,7 @@ def forward(
 
 def _bwd_kernel(
     block_ref, meta_ref, lo_ref, hi_ref,
-    chunks_ref, out4_ref, g4_ref, d_ref, t_scr, p4_scr,
+    chunks_ref, out4_ref, g4_ref, d_ref, t_scr, r_scr,
     *, statics,
 ):
     g = statics.chunk
@@ -177,10 +189,12 @@ def _bwd_kernel(
     @pl.when((meta & _FIRST_BIT) != 0)
     def _():
         t_scr[...] = jnp.ones_like(t_scr)
-        p4_scr[...] = jnp.zeros_like(p4_scr)
+        r_scr[...] = jnp.zeros_like(r_scr)
 
     t_in = t_scr[...]
-    live_chunk = jnp.max(t_in) >= statics.transmittance_eps
+    live_chunk = jnp.logical_and(
+        jnp.max(t_in) >= statics.transmittance_eps, lo_ref[i] < hi_ref[i]
+    )
 
     # d output lives in STREAM space (same revisiting pattern as the
     # forward's tile rows): zero the block on its first visit, accumulate
@@ -191,7 +205,6 @@ def _bwd_kernel(
 
     @pl.when(live_chunk)
     def _():
-        prefix4 = p4_scr[...]
         c4_tot = out4_ref[0]
         g4 = g4_ref[0]
         chunk = chunks_ref[:]
@@ -211,27 +224,19 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32, precision=_HIGHEST,
         )
 
-        # ONE wide (G,G)@(G,4P) matmul for all four channel prefixes
-        # (lane-concatenated) instead of four (G,P) matmuls
-        p_pix = w.shape[1]
-        cw_cat = jnp.concatenate(
-            [c4[:, cch : cch + 1] * w for cch in range(4)], axis=1
-        )  # (G, 4P)
-        pc_cat = _mm(l_incl, cw_cat)
-        term2 = jnp.zeros_like(w)
-        new_prefix = []
-        for cch in range(4):
-            cw_c = cw_cat[:, cch * p_pix : (cch + 1) * p_pix]
-            pc = prefix4[cch : cch + 1, :] + pc_cat[:, cch * p_pix : (cch + 1) * p_pix]
-            term2 = term2 + (c4_tot[cch : cch + 1, :] - pc) * g4[cch : cch + 1, :]
-            new_prefix.append(
-                prefix4[cch : cch + 1, :] + jnp.sum(cw_c, 0, keepdims=True)
-            )
-
         cg = jax.lax.dot_general(
             c4, g4, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_HIGHEST,
         )
+        # suffix term via the scalar-carry identity (composite._chunk_bwd):
+        # term2[k] = sum_c c4_tot_c*g4_c - r_in - prefix_incl(w * cg);
+        # ONE (G,G)@(G,P) prefix matmul instead of the 4x-wide
+        # lane-concatenated one — the dominant bwd-kernel cost in round 1.
+        tot_dot = jnp.sum(c4_tot * g4, axis=0, keepdims=True)  # (1,P)
+        u = w * cg
+        cum_u = _mm(l_incl, u)
+        term2 = tot_dot - r_scr[...] - cum_u
+        r_out = r_scr[...] + jnp.sum(u, axis=0, keepdims=True)
         dl_da = jnp.where(alpha > 0.0, t_k * cg - term2 / (1.0 - alpha), 0.0)
         live = jnp.logical_and(alpha > 0.0, alpha_raw < statics.alpha_clip)
         g_a = jnp.where(live, dl_da, 0.0)
@@ -253,7 +258,7 @@ def _bwd_kernel(
         # across the two visits of a boundary block is exact
         d_ref[...] = d_ref[...] + d_chunk
         t_scr[...] = t_in * jnp.exp(jnp.sum(log1m, axis=0, keepdims=True))
-        p4_scr[...] = jnp.concatenate(new_prefix, axis=0)
+        r_scr[...] = r_out
 
 
 def backward(
@@ -284,14 +289,15 @@ def backward(
         # 675 ms — 4x the kernel itself)
         out_specs=pl.BlockSpec((g, pd), stream_map, memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((1, p), jnp.float32),
-            pltpu.VMEM((4, p), jnp.float32),
+            pltpu.VMEM((1, p), jnp.float32),  # transmittance carry
+            pltpu.VMEM((1, p), jnp.float32),  # scalar suffix carry r
         ],
     )
+    vma = jax.typeof(stream_payload).vma | jax.typeof(g4).vma
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m, pd), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, pd), jnp.float32, vma=vma),
         cost_estimate=pl.CostEstimate(
             flops=c * g * p * 30,
             bytes_accessed=2 * c * g * pd * 4,
@@ -332,6 +338,30 @@ def _make_composite_stream(statics: CompositeStatics, num_rows: int):
 
     composite.defvjp(fwd, bwd)
     return composite
+
+
+@jax.custom_vjp
+def clip_cotangent_rows(x: jnp.ndarray, lo, hi) -> jnp.ndarray:
+    """Identity forward; the backward ZEROES cotangent rows outside
+    [lo, hi).  The Gaussian-sharded path composites only its own tile
+    range, so `backward`'s stream-space output is uninitialized memory at
+    blocks no local chunk visits — this clip (placed between the stream
+    gather and composite_stream) keeps that garbage out of the
+    gather-transpose reduction (parallel/render.py)."""
+    return x
+
+
+def _clip_fwd(x, lo, hi):
+    return x, (lo, hi, x.shape[0])
+
+
+def _clip_bwd(res, g):
+    lo, hi, m = res
+    pos = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    return jnp.where((pos >= lo) & (pos < hi), g, 0.0), None, None
+
+
+clip_cotangent_rows.defvjp(_clip_fwd, _clip_bwd)
 
 
 def composite_stream(

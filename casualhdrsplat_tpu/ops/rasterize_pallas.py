@@ -52,7 +52,7 @@ def _tri_strict(g: int):
 
 
 def _pixel_coords(tile_index, statics: CompositeStatics):
-    tiles_per_view = statics.ntx * statics.nty
+    tiles_per_view = statics.tiles_per_view or statics.ntx * statics.nty
     t = tile_index % tiles_per_view
     ox = (t % statics.ntx) * statics.tile_w
     oy = (t // statics.ntx) * statics.tile_h
@@ -132,7 +132,10 @@ def forward(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((tt, 4, p), jnp.float32),
+        # vma: propagate varying-manual-axes when called under shard_map
+        out_shape=jax.ShapeDtypeStruct(
+            (tt, 4, p), jnp.float32, vma=jax.typeof(gathered).vma
+        ),
         cost_estimate=pl.CostEstimate(
             flops=tt * flops_per_tile,
             bytes_accessed=tt * (cap * pd * 4 + 4 * p * 4),
@@ -162,6 +165,9 @@ def _bwd_kernel(
     d_ref[0] = jnp.zeros((cap, binning.PAYLOAD_DIM), jnp.float32)
     c4_tot = out4_ref[0]  # (4,P)
     g4 = g4_ref[0]  # (4,P)
+    # suffix term via the scalar-carry identity (see composite._chunk_bwd):
+    # term2[k] = tot_dot - r - prefix_incl(w * cg); carry r is (1,P).
+    tot_dot = jnp.sum(c4_tot * g4, axis=0, keepdims=True)  # (1,P)
 
     def cond(state):
         ci, t_carry, _ = state
@@ -170,7 +176,7 @@ def _bwd_kernel(
         )
 
     def body(state):
-        ci, t_carry, prefix4 = state
+        ci, t_carry, r_carry = state
         chunk = payload_ref[0, pl.ds(ci * g, g), :]
         alpha, alpha_raw, expf, dx, dy, (cxx, cxy, cyy) = _alpha_terms(
             chunk, px, py, statics.alpha_clip, statics.alpha_threshold
@@ -186,25 +192,14 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32, precision=_HIGHEST,
         )  # (G,4)
 
-        # suffix-sum term: one wide lane-concatenated prefix matmul
-        p_pix = w.shape[1]
-        cw_cat = jnp.concatenate(
-            [c4[:, cc : cc + 1] * w for cc in range(4)], axis=1
-        )  # (G, 4P)
-        pc_cat = _mm(l_incl, cw_cat)
-        term2 = jnp.zeros_like(w)
-        new_prefix_rows = []
-        for c in range(4):
-            cw_c = cw_cat[:, c * p_pix : (c + 1) * p_pix]
-            pc = prefix4[c : c + 1, :] + pc_cat[:, c * p_pix : (c + 1) * p_pix]
-            term2 = term2 + (c4_tot[c : c + 1, :] - pc) * g4[c : c + 1, :]
-            new_prefix_rows.append(prefix4[c : c + 1, :] + jnp.sum(cw_c, 0, keepdims=True))
-        prefix4_out = jnp.concatenate(new_prefix_rows, axis=0)
-
         cg = jax.lax.dot_general(
             c4, g4, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_HIGHEST,
         )  # (G,P)
+        u = w * cg
+        cum_u = _mm(l_incl, u)  # inclusive prefix of u over slots
+        term2 = tot_dot - r_carry - cum_u
+        r_out = r_carry + jnp.sum(u, axis=0, keepdims=True)
         dl_da = jnp.where(alpha > 0.0, t_k * cg - term2 / (1.0 - alpha), 0.0)
         live = jnp.logical_and(alpha > 0.0, alpha_raw < statics.alpha_clip)
         g_a = jnp.where(live, dl_da, 0.0)
@@ -226,9 +221,9 @@ def _bwd_kernel(
         d_ref[0, pl.ds(ci * g, g), :] = d_chunk
 
         total = jnp.sum(log1m, axis=0, keepdims=True)
-        return ci + 1, t_carry * jnp.exp(total), prefix4_out
+        return ci + 1, t_carry * jnp.exp(total), r_out
 
-    init = (jnp.int32(0), jnp.ones((1, p), jnp.float32), jnp.zeros((4, p), jnp.float32))
+    init = (jnp.int32(0), jnp.ones((1, p), jnp.float32), jnp.zeros((1, p), jnp.float32))
     jax.lax.while_loop(cond, body, init)
 
 
@@ -256,10 +251,11 @@ def backward(
             (1, cap, pd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
     )
+    vma = jax.typeof(gathered).vma | jax.typeof(g4).vma
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((tt, cap, pd), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((tt, cap, pd), jnp.float32, vma=vma),
         cost_estimate=pl.CostEstimate(
             flops=tt * flops_per_tile,
             bytes_accessed=tt * (2 * cap * pd * 4 + 8 * p * 4),

@@ -32,7 +32,7 @@ from casualhdrsplat_tpu.config import ModelConfig, RasterizeConfig
 from casualhdrsplat_tpu.geometry import lie
 from casualhdrsplat_tpu.models import crf as crf_mod
 from casualhdrsplat_tpu.models import gaussians as gauss_mod
-from casualhdrsplat_tpu.ops import binning
+from casualhdrsplat_tpu.ops import binning, rasterize_packed
 from casualhdrsplat_tpu.ops.composite import CompositeStatics, composite_tiles
 from casualhdrsplat_tpu.ops.projection import project_gaussians
 from casualhdrsplat_tpu.ops.rasterize import resolve_backend
@@ -41,6 +41,148 @@ from casualhdrsplat_tpu.parallel.mesh import DATA_AXIS, GAUSS_AXIS
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _packed_local_tiles(
+    payload, aux, g_idx, cfg: RasterizeConfig, width, height,
+    gauss_size, tpd, tiles_pad, num_tiles,
+):
+    """Streaming-compositor tile stage of the sharded renderer (runs
+    INSIDE shard_map, after the P2 all-gather).
+
+    - Binning dedup (VERDICT r1 next-step 2): the per-view (tile, depth)
+      sort runs ONCE per (view, payload) — views round-robin over the
+      `gauss` axis, results all-gathered — instead of every gauss-axis
+      device re-sorting every view identically.
+    - Each device then packs a chunk schedule for ITS tile range only (a
+      contiguous slice of the sorted stream) and runs the same
+      rasterize_packed kernels as the single-chip path.  The worst-case
+      per-device chunk budget is cheap because empty-segment chunks
+      short-circuit in the kernel.
+    - The backward writes stream-space gradients only for visited blocks;
+      clip_cotangent_rows zeroes the unvisited (uninitialized) rows, and
+      the all-gather transpose still psum-scatters per-Gaussian partials
+      across the mesh.
+
+    Returns (out4 [v_local, tpd, 4, P] local tile composites,
+    dropped_total replicated scalar).
+    """
+    v_local, n_full, _ = payload.shape
+    th, tw = cfg.tile_h, cfg.tile_w
+    gch = cfg.chunk
+    s_budget = min(n_full * cfg.max_tiles_per_gaussian, cfg.stream_factor * n_full)
+    s_budget = -(-s_budget // gch) * gch
+    c_local = s_budget // gch + tpd + 1
+    sentinel = v_local * tiles_pad
+    num_rows = sentinel + 1
+
+    # ---- binning: once per (view, payload), round-robin over gauss ----
+    n_bin = -(-v_local // gauss_size)
+    my_views = jnp.clip(
+        g_idx + jnp.arange(n_bin, dtype=jnp.int32) * gauss_size, 0, v_local - 1
+    )
+
+    def bin_view(payload_v, aux_v):
+        s_gauss, starts, seg_len = binning.sorted_stream(
+            payload_v[:, binning.COL_MX : binning.COL_MY + 1],
+            aux_v[:, 0], aux_v[:, 1], aux_v[:, 2] > 0.5,
+            width, height, th, tw, cfg.max_tiles_per_gaussian,
+        )
+        # segments are contiguous, so clipping the cumulative starts at the
+        # budget clips every segment consistently
+        starts_c = jnp.minimum(starts, s_budget)
+        dropped = jnp.maximum(starts[num_tiles] - s_budget, 0)
+        stream_ids = jnp.where(
+            jnp.arange(s_budget) < starts[num_tiles], s_gauss[:s_budget], n_full
+        ).astype(jnp.int32)
+        return starts_c, stream_ids, dropped
+
+    starts_b, ids_b, drop_b = jax.vmap(bin_view)(payload[my_views], aux[my_views])
+    starts_all = jax.lax.all_gather(starts_b, GAUSS_AXIS)  # [gs, n_bin, T+1]
+    ids_all = jax.lax.all_gather(ids_b, GAUSS_AXIS)  # [gs, n_bin, s_budget]
+    drop_all = jax.lax.all_gather(drop_b, GAUSS_AXIS)  # [gs, n_bin]
+    vj = jnp.arange(v_local)
+    starts_v = starts_all[vj % gauss_size, vj // gauss_size]  # [v_local, T+1]
+    ids_v = ids_all[vj % gauss_size, vj // gauss_size]
+    assigned = (
+        jnp.arange(gauss_size, dtype=jnp.int32)[:, None]
+        + jnp.arange(n_bin, dtype=jnp.int32)[None, :] * gauss_size
+    ) < v_local
+    dropped_views = jnp.sum(jnp.where(assigned, drop_all, 0))
+    dropped_total = jax.lax.pmean(
+        jax.lax.psum(dropped_views, DATA_AXIS), GAUSS_AXIS
+    )
+
+    # extend tile starts over the padded tile range (padded tiles empty)
+    pad_t = tiles_pad - num_tiles
+    starts_pv = (
+        jnp.concatenate(
+            [starts_v, jnp.broadcast_to(starts_v[:, -1:], (v_local, pad_t))],
+            axis=1,
+        )
+        if pad_t
+        else starts_v
+    )  # [v_local, tiles_pad + 1]
+
+    def prep_view(payload_v, ids_one, starts_one, view_idx):
+        padded = jnp.concatenate(
+            [payload_v, jnp.zeros((1, binning.PAYLOAD_DIM))], axis=0
+        )
+        stream = padded[ids_one]  # [s_budget, 16] — the ONE row gather
+        loc = jax.lax.dynamic_slice_in_dim(starts_one, g_idx * tpd, tpd + 1)
+        stream = rasterize_packed.clip_cotangent_rows(stream, loc[0], loc[-1])
+        ch = binning.pack_stream_chunks(
+            loc, loc[1:] - loc[:-1], s_budget, gch, c_local,
+            out_row_offset=0, sentinel_row=sentinel,
+        )
+        used = ch.out_row != sentinel
+        # row layout: view * tiles_pad + global padded tile, so origins
+        # come out of row % tiles_per_view(=tiles_pad) and every device's
+        # row slice is static; padded tiles are empty (zeroed, dropped at
+        # assembly).
+        row = jnp.where(
+            used, view_idx * tiles_pad + ch.out_row + g_idx * tpd, sentinel
+        )
+        ch = ch._replace(
+            out_row=row.astype(jnp.int32),
+            block_id=ch.block_id + view_idx * (s_budget // gch),
+            seg_lo=ch.seg_lo + view_idx * s_budget,
+            seg_hi=ch.seg_hi + view_idx * s_budget,
+        )
+        return stream, ch
+
+    streams, ch_v = jax.vmap(prep_view)(
+        payload, ids_v, starts_pv, jnp.arange(v_local, dtype=jnp.int32)
+    )
+    stream_cat = streams.reshape(v_local * s_budget, binning.PAYLOAD_DIM)
+    chunks = binning.StreamChunks(
+        block_id=ch_v.block_id.reshape(-1),
+        out_row=ch_v.out_row.reshape(-1),
+        first=ch_v.first.reshape(-1),
+        seg_lo=ch_v.seg_lo.reshape(-1),
+        seg_hi=ch_v.seg_hi.reshape(-1),
+        block_new=ch_v.block_new.reshape(-1),
+        num_chunks=jnp.sum(ch_v.num_chunks),
+    )
+    statics = CompositeStatics(
+        num_views=v_local, ntx=binning.tile_grid(width, height, th, tw)[0],
+        nty=binning.tile_grid(width, height, th, tw)[1],
+        tile_h=th, tile_w=tw, chunk=gch,
+        alpha_clip=cfg.alpha_clip, alpha_threshold=cfg.alpha_threshold,
+        backend="pallas", transmittance_eps=cfg.transmittance_eps,
+        tiles_per_view=tiles_pad,
+    )
+    out_full = rasterize_packed.composite_stream(
+        stream_cat, chunks, num_rows, statics
+    )  # [num_rows, 4, P]; rows outside this device's tiles are junk
+
+    def slice_view(view_idx):
+        return jax.lax.dynamic_slice_in_dim(
+            out_full, view_idx * tiles_pad + g_idx * tpd, tpd, axis=0
+        )
+
+    out4 = jax.vmap(slice_view)(jnp.arange(v_local))  # [v_local, tpd, 4, P]
+    return out4, dropped_total
 
 
 def rasterize_sharded(
@@ -84,6 +226,9 @@ def rasterize_sharded(
     )
     if means2d_offset is None:
         means2d_offset = jnp.zeros((gauss_params["means"].shape[0], 2))
+    # Streaming compositor under shard_map (VERDICT r1 next-step 2): same
+    # condition as the single-chip dispatch in ops/rasterize.rasterize.
+    use_packed = cfg.packed and resolve_backend(cfg) == "pallas"
 
     def body(gp, offset, viewmats_all):
         # local shapes: gp leaves [N/g, ...]; viewmats_all [V, 4, 4]
@@ -122,6 +267,13 @@ def rasterize_sharded(
             payload_l, GAUSS_AXIS, axis=1, tiled=True
         )  # [V/d, N, 16]
         aux = jax.lax.all_gather(aux_l, GAUSS_AXIS, axis=1, tiled=True)
+
+        if use_packed:
+            out4, dropped_total = _packed_local_tiles(
+                payload, aux, g_idx, cfg, width, height, gauss_size, tpd,
+                tiles_pad, num_tiles,
+            )
+            return out4, radii_l, depths_l, dropped_total
 
         def bin_and_gather(payload_v, aux_v):
             tiles = binning.assign_tiles_arrays(
@@ -192,8 +344,13 @@ def rasterize_sharded(
         P(DATA_AXIS, GAUSS_AXIS),
         P(),
     )
+    # check_vma=False: Pallas index_maps combine varying scalar-prefetch
+    # operands with unvaried grid indices, which the vma checker rejects
+    # (JAX suggests this exact workaround); collective correctness is
+    # still exercised by the sharded-vs-single allclose tests.
     out4, radii, depths, dropped = jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
     )(gauss_params, means2d_offset, viewmats)
 
     # assembly: the blur average + SSIM loss need full images, so gather

@@ -107,6 +107,48 @@ def test_transmittance_eps_knob_reaches_kernel(rng):
     np.testing.assert_allclose(img_loose[0], 0.0, atol=1e-7)
 
 
+def test_shared_binning_matches_per_view(rng):
+    """shared_binning=True (one sort per frame, motion-inflated radii)
+    stays near-allclose to the exact per-view binning, fwd and bwd, across
+    genuinely DIFFERENT virtual views (VERDICT r1 next-step 1b)."""
+    cloud = synthetic.random_cloud(rng, 80)
+    cams = [synthetic.orbit_camera(a, width=32, img_height=24) for a in (0.0, 0.04, 0.08)]
+    vm = jnp.stack([c.viewmat for c in cams])
+    cam = cams[0]
+    _, cfg_exact = cfgs()
+    _, cfg_shared = cfgs(shared_binning=True)
+    target = jnp.asarray(rng.uniform(size=(24, 32, 3)), jnp.float32)
+
+    def render(cfg):
+        def fwd(m, q, s, o, c):
+            return rasterize.rasterize(
+                m, q, s, o, c, vm, cam.fx, cam.fy, cam.cx, cam.cy,
+                cam.width, cam.height, cfg,
+            )[:2]
+
+        args = (cloud.means3d, cloud.quats, cloud.scales, cloud.opacities,
+                cloud.colors)
+        imgs, alphas = fwd(*args)
+
+        def loss(*a):
+            im, al = fwd(*a)
+            return jnp.mean((jnp.mean(im, 0) - target) ** 2) + 0.05 * jnp.mean(al)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+        return imgs, alphas, grads
+
+    img_e, al_e, g_e = render(cfg_exact)
+    img_s, al_s, g_s = render(cfg_shared)
+    # exact up to within-tile depth-ORDER ties between views
+    np.testing.assert_allclose(img_s, img_e, atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(al_s, al_e, atol=2e-3)
+    for name, a, b in zip(("means3d", "quats", "scales", "opacities", "colors"),
+                          g_s, g_e):
+        scale = max(1e-6, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(a, b, atol=2e-3 * scale, rtol=2e-2,
+                                   err_msg=name)
+
+
 def test_packed_dense_occupancy(rng):
     """Opaque scene exercising the transmittance early-exit across chunks."""
     cloud = synthetic.random_cloud(rng, 150)

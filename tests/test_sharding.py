@@ -22,7 +22,10 @@ from casualhdrsplat_tpu.parallel import render as prender
 from casualhdrsplat_tpu.parallel import sharding as shard_mod
 
 
-def model_cfg():
+def model_cfg(backend="xla"):
+    # backend="xla" -> dense composite_tiles under shard_map;
+    # backend="pallas" -> the packed streaming compositor (interpret mode
+    # on CPU) with round-robin-deduplicated binning.
     return ModelConfig(
         max_gaussians=128,
         sh_degree=1,
@@ -30,7 +33,7 @@ def model_cfg():
         crf=CRFConfig(kind="identity"),
         rasterize=RasterizeConfig(
             tile_h=8, tile_w=16, tile_capacity=64, max_tiles_per_gaussian=32,
-            chunk=32, backend="xla",
+            chunk=32, backend=backend,
         ),
     )
 
@@ -54,8 +57,10 @@ def test_mesh_construction():
 
 
 @pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (1, 8), (8, 1)])
-def test_sharded_rasterize_matches_single(setup, mesh_shape):
-    ds, cfg, scene, params = setup
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_sharded_rasterize_matches_single(setup, mesh_shape, backend):
+    ds, _, scene, params = setup
+    cfg = model_cfg(backend)
     mesh = mesh_mod.make_mesh(ParallelConfig(*mesh_shape))
     frame = jnp.asarray(1)
 
@@ -71,8 +76,10 @@ def test_sharded_rasterize_matches_single(setup, mesh_shape):
     )
 
 
-def test_sharded_gradients_match_single(setup):
-    ds, cfg, scene, params = setup
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_sharded_gradients_match_single(setup, backend):
+    ds, _, scene, params = setup
+    cfg = model_cfg(backend)
     mesh = mesh_mod.make_mesh(ParallelConfig(data=2, gauss=4))
     frame = jnp.asarray(2)
     target = jnp.asarray(ds.images[2])
