@@ -41,8 +41,11 @@ class RasterizeConfig:
     # of once per virtual view.  Tile assignment stays a superset of every
     # view's footprint, so the composite is exact up to depth-ORDER ties
     # between views (virtual views sit within one exposure window, so
-    # inversions are rare and sub-pixel).  Packed path only.
-    shared_binning: bool = False
+    # inversions are rare and sub-pixel).  Packed path only.  Default ON:
+    # 2.5x faster fwd+bwd at bench scale (370 -> 147 ms for 800^2 x 4
+    # views x 100k); tests/test_rasterize_packed.py pins it near-allclose
+    # to exact per-view binning.  Set False for oracle-exact binning.
+    shared_binning: bool = True
     backend: str = "auto"  # "pallas" | "oracle" | "auto"
 
 

@@ -36,6 +36,11 @@ class Dataset:
     points_rgb: np.ndarray  # [M,3] in [0,1]
     train_indices: np.ndarray = field(default=None)
     eval_indices: np.ndarray = field(default=None)
+    # Ground-truth sharp LDR frames at each frame's mid-exposure pose, when
+    # the source provides them (synthetic fixtures; real captures rarely do).
+    # Enables the deblurred-render evaluation path (SURVEY.md C20,
+    # teaser.png c.2 "sharpen the train images").
+    sharp_images: Optional[np.ndarray] = None
 
     def __post_init__(self):
         n = len(self.images)
@@ -180,6 +185,7 @@ def make_synthetic_dataset(seed: int = 0, **kwargs) -> Dataset:
         height=cam.height,
         points_xyz=pts,
         points_rgb=cols,
+        sharp_images=np.asarray(video.sharp_ldr),
     )
 
 

@@ -91,6 +91,7 @@ class SyntheticVideo(NamedTuple):
     cloud: GaussianCloud
     images: jnp.ndarray  # [F,H,W,3] observed LDR (blurred, auto-exposed)
     sharp_hdr: jnp.ndarray  # [F,H,W,3] mid-exposure sharp HDR renders
+    sharp_ldr: jnp.ndarray  # [F,H,W,3] GT-CRF tone-map of sharp_hdr * dt_i
     timestamps: jnp.ndarray  # [F] frame start times
     exposures: jnp.ndarray  # [F] ground-truth exposure durations
     knots: jnp.ndarray  # [M,4,4] ground-truth spline knots
@@ -109,6 +110,8 @@ def make_casual_video(
     exposure_range=(0.3, 1.2),
     crf_gamma: float = 2.2,
     blur: bool = True,
+    renderer: str = "oracle",
+    raster_cfg=None,
 ) -> SyntheticVideo:
     """Render a ground-truth auto-exposed blurry video with the oracle.
 
@@ -116,8 +119,21 @@ def make_casual_video(
     the mean of `n_virtual` sharp LDR renders, each LDR = gamma-CRF of
     (HDR * dt_i).  Frame times are 0..n_frames-1; exposures are a fraction
     of the inter-frame interval.
+
+    `renderer="fast"` generates GT through the production rasterizer
+    instead of the dense [N, H*W] oracle — required for at-spec fixtures
+    (800^2, 10k+ GT Gaussians) where the oracle's dense pixel-Gaussian
+    matrix would not fit.  The production path is oracle-allclose-tested
+    at small scale (tests/test_rasterize*.py), so fixtures stay honest.
     """
     from casualhdrsplat_tpu.ops import oracle
+
+    if renderer == "fast":
+        from casualhdrsplat_tpu import config as config_mod
+        from casualhdrsplat_tpu.ops import rasterize as raster_mod
+
+        if raster_cfg is None:
+            raster_cfg = config_mod.RasterizeConfig(shared_binning=False)
 
     cloud = random_cloud(rng, n_gaussians, hdr_max=2.5)
     cam = orbit_camera(0.0, width=size, img_height=size)
@@ -135,6 +151,34 @@ def make_casual_video(
     # window on the spline (pipeline.png legend "auto exposure time").
     exposures = rng.uniform(*exposure_range, size=n_frames).astype(np.float32)
 
+    if renderer == "fast":
+        import jax
+
+        @jax.jit
+        def render_views(mats):
+            imgs, _, _ = raster_mod.rasterize(
+                cloud.means3d, cloud.quats, cloud.scales, cloud.opacities,
+                cloud.colors, mats, cam.fx, cam.fy, cam.cx, cam.cy,
+                cam.width, cam.height, raster_cfg,
+            )
+            return imgs
+    else:
+
+        def render_views(mats):
+            return jnp.stack(
+                [
+                    oracle.render(
+                        cloud.means3d,
+                        cloud.quats,
+                        cloud.scales,
+                        cloud.opacities,
+                        cloud.colors,
+                        cam.with_viewmat(mats[k]),
+                    ).image
+                    for k in range(mats.shape[0])
+                ]
+            )
+
     timestamps = np.arange(n_frames, dtype=np.float32)
     images, sharp = [], []
     for i in range(n_frames):
@@ -142,38 +186,24 @@ def make_casual_video(
             timestamps[i], exposures[i] if blur else 0.0, n_virtual if blur else 1
         )
         mats = spline.cubic_bspline_interpolation(knots, t0, dt, t_k)
-        ldrs = []
-        for k in range(mats.shape[0]):
-            cam_k = cam.with_viewmat(mats[k])
-            out = oracle.render(
-                cloud.means3d,
-                cloud.quats,
-                cloud.scales,
-                cloud.opacities,
-                cloud.colors,
-                cam_k,
-            )
-            ldr = jnp.clip(out.image * exposures[i], 0.0, 1.0) ** (1.0 / crf_gamma)
-            ldrs.append(ldr)
-        images.append(jnp.mean(jnp.stack(ldrs), axis=0))
+        hdrs = render_views(mats)
+        ldrs = jnp.clip(hdrs * exposures[i], 0.0, 1.0) ** (1.0 / crf_gamma)
+        images.append(jnp.mean(ldrs, axis=0))
         mid_t = timestamps[i] + (exposures[i] / 2.0 if blur else 0.0)
         mid = spline.cubic_bspline_interpolation(
             knots, t0, dt, jnp.array([mid_t])
-        )[0]
-        sharp.append(
-            oracle.render(
-                cloud.means3d,
-                cloud.quats,
-                cloud.scales,
-                cloud.opacities,
-                cloud.colors,
-                cam.with_viewmat(mid),
-            ).image
         )
+        sharp.append(render_views(mid)[0])
+    sharp_hdr = jnp.stack(sharp)
+    sharp_ldr = (
+        jnp.clip(sharp_hdr * jnp.asarray(exposures)[:, None, None, None], 0.0, 1.0)
+        ** (1.0 / crf_gamma)
+    )
     return SyntheticVideo(
         cloud=cloud,
         images=jnp.stack(images),
-        sharp_hdr=jnp.stack(sharp),
+        sharp_hdr=sharp_hdr,
+        sharp_ldr=sharp_ldr,
         timestamps=jnp.asarray(timestamps),
         exposures=jnp.asarray(exposures),
         knots=knots,

@@ -216,7 +216,12 @@ def render_pose(
 
 
 def render_deblurred(
-    params: Params, scene: SceneStatic, frame_id, cfg: ModelConfig, hdr_output=False
+    params: Params,
+    scene: SceneStatic,
+    frame_id,
+    cfg: ModelConfig,
+    hdr_output=False,
+    sh_degree: Optional[int] = None,
 ):
     """Deblur a training frame (teaser.png c.2): single sharp render at the
     mid-exposure pose, tone-mapped once — no blur average."""
@@ -225,4 +230,5 @@ def render_deblurred(
     return render_pose(
         params, scene, viewmat, cfg,
         exposure=exposure_of(params, frame_id), hdr_output=hdr_output,
+        sh_degree=sh_degree,
     )

@@ -167,6 +167,62 @@ def densify_and_prune(
     return out, opt_state, AdcState.zero(n), report
 
 
+def densify_and_prune_sharded(
+    gauss: Dict[str, jnp.ndarray],
+    opt_state,
+    adc: AdcState,
+    key: jax.Array,
+    cfg: DensifyConfig,
+    scene_extent: float,
+    image_diag: float,
+    mesh,
+    screen_prune: bool = False,
+) -> Tuple[Dict[str, jnp.ndarray], object, AdcState, AdcReport]:
+    """ADC on the `gauss`-sharded store (SURVEY.md P5, VERDICT r1
+    next-step 3): the SAME pure densify_and_prune runs INSIDE shard_map on
+    each device's capacity block — per-shard free lists, so clone/split
+    slot allocation, scatters, and optimizer-state surgery are all
+    shard-LOCAL (zero collectives except the report psum).  A shard that
+    exhausts its free slots defers its lowest-rank requesters to later
+    rounds (same policy the unsharded path applies globally); capacity
+    headroom bounds the imbalance, and prune keeps returning slots to the
+    shard that owns them, so no explicit all_to_all rebalance is needed.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from casualhdrsplat_tpu.parallel.mesh import GAUSS_AXIS
+
+    cap = gauss["alive"].shape[0]
+
+    def block_spec(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == cap:
+            return P(GAUSS_AXIS)
+        return P()
+
+    gauss_specs = jax.tree.map(lambda _: P(GAUSS_AXIS), gauss)
+    opt_specs = jax.tree.map(block_spec, opt_state)
+    adc_specs = jax.tree.map(lambda _: P(GAUSS_AXIS), adc)
+
+    def body(gauss_l, opt_l, adc_l, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(GAUSS_AXIS))
+        out, opt, adc2, report = densify_and_prune(
+            gauss_l, opt_l, adc_l, key, cfg, scene_extent, image_diag,
+            screen_prune=screen_prune,
+        )
+        report = AdcReport(
+            *(jax.lax.psum(x, GAUSS_AXIS) for x in report)
+        )
+        return out, opt, adc2, report
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(gauss_specs, opt_specs, adc_specs, P()),
+        out_specs=(gauss_specs, opt_specs, adc_specs, P()),
+        check_vma=False,
+    )(gauss, opt_state, adc, key)
+
+
 def reset_opacity(gauss: Dict[str, jnp.ndarray], value: float = 0.01):
     """Clamp opacities down (every 3k steps in the lineage) so pruning can
     retire Gaussians that stopped contributing."""

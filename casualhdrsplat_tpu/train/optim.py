@@ -41,18 +41,23 @@ def _label_tree(params: Dict[str, Any]):
     }
 
 
+def _exp_sched(init: float, final: float, steps: int):
+    """Exponential decay init -> final; a zero init freezes the group."""
+    if init <= 0.0:
+        return 0.0
+    return optax.exponential_decay(
+        init_value=init, transition_steps=steps, decay_rate=final / init
+    )
+
+
 def make_optimizer(cfg: OptimConfig, scene_extent: float = 1.0):
     """Returns an optax GradientTransformation over the full param pytree."""
-    means_sched = optax.exponential_decay(
-        init_value=cfg.means_lr_init * scene_extent,
-        transition_steps=cfg.max_steps,
-        decay_rate=cfg.means_lr_final / cfg.means_lr_init,
+    means_sched = _exp_sched(
+        cfg.means_lr_init * scene_extent,
+        cfg.means_lr_final * scene_extent,
+        cfg.max_steps,
     )
-    pose_sched = optax.exponential_decay(
-        init_value=cfg.pose_lr_init,
-        transition_steps=cfg.max_steps,
-        decay_rate=cfg.pose_lr_final / cfg.pose_lr_init,
-    )
+    pose_sched = _exp_sched(cfg.pose_lr_init, cfg.pose_lr_final, cfg.max_steps)
     adam = lambda lr: optax.adam(lr, b1=0.9, b2=0.999, eps=1e-15)
     groups = {
         "means": adam(means_sched),

@@ -1,0 +1,236 @@
+"""At-spec quality run (BASELINE.md "match reference PSNR"; VERDICT r1
+next-step 4): train the FULL joint model — poses + exposures + CRF + HDR
+Gaussians + densification — at 800x800 / 100k+-Gaussian scale on a
+synthetic casual video with known ground truth, then quantify:
+
+- blurred-frame reconstruction PSNR/SSIM curve (training fit),
+- DEBLURRED-render PSNR/SSIM vs GT sharp frames and the deblurring gain
+  over the blurry inputs (Readme.md:54 "sharpen the train images"),
+- exposure-RATIO recovery error (global scale is gauge),
+- CRF-curve recovery RMSE vs the GT gamma curve after gauge alignment
+  (a log-exposure shift — the HDR x dt x CRF chain has a scale gauge),
+- pose recovery: effective spline knots vs GT knots (the script perturbs
+  the initial knots, as COLMAP-on-blurry-frames would be).
+
+Writes QUALITY_r{N}.json at the repo root plus renders under
+outputs/quality/.  Run on the TPU chip: `python scripts/quality_run.py`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from casualhdrsplat_tpu.utils import runtime  # noqa: E402
+
+runtime.setup()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from casualhdrsplat_tpu import config  # noqa: E402
+from casualhdrsplat_tpu.data import dataset as dataset_mod  # noqa: E402
+from casualhdrsplat_tpu.data import synthetic  # noqa: E402
+from casualhdrsplat_tpu.geometry import lie  # noqa: E402
+from casualhdrsplat_tpu.models import crf as crf_mod  # noqa: E402
+from casualhdrsplat_tpu.models import image_formation as imf  # noqa: E402
+from casualhdrsplat_tpu.train import metrics as metrics_mod  # noqa: E402
+from casualhdrsplat_tpu.train.trainer import Trainer  # noqa: E402
+
+
+def pose_errors(knots_a, knots_b):
+    """Per-knot (rotation deg, translation) error between [M,4,4] stacks."""
+    rel = np.einsum("nij,njk->nik", np.linalg.inv(np.asarray(knots_a)),
+                    np.asarray(knots_b))
+    cos = np.clip((np.trace(rel[:, :3, :3], axis1=1, axis2=2) - 1) / 2, -1, 1)
+    rot_deg = np.degrees(np.arccos(cos))
+    trans = np.linalg.norm(rel[:, :3, 3], axis=-1)
+    return rot_deg, trans
+
+
+def crf_recovery_rmse(params, crf_cfg, gamma: float):
+    """RMSE between the learned response curve and the GT gamma curve,
+    minimized over a log-exposure shift (the chain's scale gauge)."""
+    e = np.exp(np.linspace(np.log(1e-3), np.log(3.0), 256))
+    best = (np.inf, 0.0)
+    for delta in np.linspace(-2.0, 2.0, 161):
+        learned = np.asarray(
+            crf_mod.apply(params, jnp.asarray(np.tile(
+                (e * np.exp(delta))[:, None], (1, 3))), crf_cfg)
+        )
+        gt = np.clip(e, 0.0, 1.0) ** (1.0 / gamma)
+        rmse = float(np.sqrt(np.mean((learned - gt[:, None]) ** 2)))
+        if rmse < best[0]:
+            best = (rmse, float(delta))
+    return {"rmse": best[0], "log_shift": best[1]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=800)
+    ap.add_argument("--gt-gaussians", type=int, default=20_000)
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--steps", type=int, default=10_000)
+    ap.add_argument("--capacity", type=int, default=1 << 17)
+    ap.add_argument("--virtual-views", type=int, default=4)
+    ap.add_argument("--out", default="QUALITY_r02.json")
+    ap.add_argument("--render-dir", default="outputs/quality")
+    args = ap.parse_args()
+
+    t_start = time.time()
+    rng = np.random.default_rng(42)
+    print("generating GT fixture...", flush=True)
+    video = synthetic.make_casual_video(
+        rng,
+        n_gaussians=args.gt_gaussians,
+        n_frames=args.frames,
+        n_virtual=8,
+        size=args.size,
+        angle_span=0.3,
+        exposure_range=(0.3, 1.2),
+        crf_gamma=2.2,
+        renderer="fast",
+    )
+    n = video.images.shape[0]
+    cam = video.camera
+    ds = dataset_mod.Dataset(
+        images=np.asarray(video.images),
+        timestamps=np.asarray(video.timestamps),
+        viewmats=np.asarray(
+            [np.asarray(video.knots[2 + i]) for i in range(n)], np.float32
+        ),
+        fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx), cy=float(cam.cy),
+        width=cam.width, height=cam.height,
+        points_xyz=np.asarray(video.cloud.means3d),
+        points_rgb=np.clip(np.asarray(video.cloud.colors), 0, 1),
+        sharp_images=np.asarray(video.sharp_ldr),
+    )
+    gt_gen_s = time.time() - t_start
+    print(f"fixture: {n} frames @ {args.size}^2, {gt_gen_s:.0f}s", flush=True)
+
+    cfg = config.TrainConfig(name="quality-r02")
+    cfg.model.max_gaussians = args.capacity
+    cfg.model.sh_degree = 3
+    cfg.model.num_virtual_views = args.virtual_views
+    cfg.model.crf.kind = "mlp"
+    cfg.model.rasterize = config.RasterizeConfig(
+        tile_h=16, tile_w=16, tile_capacity=1024, max_tiles_per_gaussian=32,
+        chunk=128, backend="auto",
+    )
+    cfg.densify.enabled = True
+    cfg.densify.start_iter = 500
+    cfg.densify.interval = 100
+    cfg.densify.stop_iter = int(args.steps * 0.7)
+    cfg.densify.opacity_reset_interval = 3000
+    cfg.optim.max_steps = args.steps
+    cfg.data.eval_every = 0  # per-frame exposures: train on every frame
+    cfg.log_every = 100
+    cfg.eval_every = 0  # evals driven from here (curve below)
+    cfg.checkpoint_every = 0
+    cfg.out_dir = args.render_dir
+
+    t = Trainer(cfg, ds)
+    # COLMAP-on-blurry-frames initial poses are noisy: perturb the knots
+    # so the run demonstrates JOINT pose estimation, not pose-given fit.
+    pose_sigma = 0.005
+    t.params["knot_deltas"] = pose_sigma * jax.random.normal(
+        jax.random.PRNGKey(3), t.params["knot_deltas"].shape
+    )
+    rot0, trans0 = pose_errors(
+        video.knots, imf.effective_knots(t.params, t.scene)
+    )
+
+    eval_idx = list(range(0, n, max(1, n // 6)))
+    curve = []
+    t_train = time.time()
+    while t.step < cfg.optim.max_steps:
+        out = t.run_step()
+        if t.step % 1000 == 0 or t.step == cfg.optim.max_steps:
+            m = t.evaluate(indices=eval_idx)
+            alive = int(jnp.sum(t.params["gaussians"]["alive"]))
+            entry = {"step": t.step, "loss": out["loss"], "alive": alive, **m}
+            curve.append(entry)
+            print(json.dumps(entry), flush=True)
+    train_s = time.time() - t_train
+
+    # -- recovery metrics --------------------------------------------------
+    got = np.asarray(t.params["log_exposures"])
+    gt = np.log(np.asarray(video.exposures))
+    got_c, gt_c = got - got.mean(), gt - gt.mean()
+    exposure_rec = {
+        "max_abs_log_ratio_err": float(np.abs(got_c - gt_c).max()),
+        "mean_abs_log_ratio_err": float(np.abs(got_c - gt_c).mean()),
+    }
+    crf_rec = crf_recovery_rmse(t.params["crf"], cfg.model.crf, gamma=2.2)
+    rot1, trans1 = pose_errors(
+        video.knots, imf.effective_knots(t.params, t.scene)
+    )
+    pose_rec = {
+        "init_rot_deg_mean": float(rot0.mean()),
+        "final_rot_deg_mean": float(rot1.mean()),
+        "init_trans_mean": float(trans0.mean()),
+        "final_trans_mean": float(trans1.mean()),
+    }
+
+    final = curve[-1]
+    report = {
+        "round": 2,
+        "scale": {
+            "image": [args.size, args.size],
+            "frames": n,
+            "gt_gaussians": args.gt_gaussians,
+            "capacity": args.capacity,
+            "final_alive": final["alive"],
+            "steps": args.steps,
+            "virtual_views": args.virtual_views,
+        },
+        "wall_s": {"gt_gen": round(gt_gen_s, 1), "train": round(train_s, 1)},
+        "final_eval": {k: v for k, v in final.items() if k.startswith("eval")},
+        "deblurring_gain_db": round(
+            final["eval_sharp_psnr"] - final["eval_sharp_psnr_input"], 3
+        ),
+        "exposure_recovery": exposure_rec,
+        "crf_recovery": crf_rec,
+        "pose_recovery": pose_rec,
+        "psnr_curve": [
+            {k: (round(v, 4) if isinstance(v, float) else v)
+             for k, v in e.items()} for e in curve
+        ],
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote", args.out, flush=True)
+
+    os.makedirs(args.render_dir, exist_ok=True)
+    deg = t.active_sh_degree()
+    for i in eval_idx[:3]:
+        fid = jnp.asarray(int(i))
+        deb = t._eval_render_deblurred(t.params, fid, deg)
+        metrics_mod.save_image(
+            os.path.join(args.render_dir, f"deblur_{i:03d}.png"), deb)
+        metrics_mod.save_image(
+            os.path.join(args.render_dir, f"input_{i:03d}.png"),
+            jnp.asarray(ds.images[int(i)]))
+        metrics_mod.save_image(
+            os.path.join(args.render_dir, f"gt_sharp_{i:03d}.png"),
+            jnp.asarray(ds.sharp_images[int(i)]))
+    # exposure-editing sweep (teaser.png c.1)
+    mid = t.scene.timestamps[2] + 0.5 * imf.exposure_of(t.params, 2)
+    vm = imf.poses_at(t.params, t.scene, jnp.array([mid]), cfg.model)[0]
+    for j, dt_v in enumerate([0.25, 1.0, 4.0]):
+        ldr, _, _ = imf.render_pose(
+            t.params, t.scene, vm, cfg.model, exposure=jnp.asarray(dt_v))
+        metrics_mod.save_image(
+            os.path.join(args.render_dir, f"sweep_{j}.png"), ldr)
+    print("renders under", args.render_dir, flush=True)
+
+
+if __name__ == "__main__":
+    main()

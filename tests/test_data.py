@@ -100,6 +100,25 @@ def test_synthetic_video_fixture(rng):
     assert np.abs(np.asarray(video.images[0]) - sharp_ldr).max() > 1e-3
 
 
+def test_synthetic_video_fast_renderer_matches_oracle():
+    """renderer="fast" (production rasterizer GT for at-spec fixtures)
+    must reproduce the oracle-rendered fixture at small scale."""
+    kw = dict(n_gaussians=50, n_frames=3, n_virtual=3, size=24)
+    vo = synthetic.make_casual_video(np.random.default_rng(9), **kw)
+    vf = synthetic.make_casual_video(
+        np.random.default_rng(9), renderer="fast", **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(vo.images), np.asarray(vf.images), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(vo.sharp_ldr), np.asarray(vf.sharp_ldr), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(vo.exposures), np.asarray(vf.exposures), atol=0
+    )
+
+
 def test_synthetic_dataset_split():
     ds = dataset.make_synthetic_dataset(
         seed=0, n_gaussians=40, n_frames=6, n_virtual=2, size=16

@@ -165,3 +165,88 @@ def test_jittable():
 
     out, *_ = f(gauss, opt_state, adc, jax.random.PRNGKey(1))
     assert int(jnp.sum(out["alive"])) >= 10
+
+
+def test_sharded_adc_shard_local_allocation():
+    """densify_and_prune_sharded (SURVEY.md P5): same grant decisions as
+    the global path when every shard has headroom, and every new slot
+    lands in the REQUESTER's shard block (per-shard free lists — no
+    cross-shard traffic)."""
+    from casualhdrsplat_tpu.config import ParallelConfig
+    from casualhdrsplat_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh(ParallelConfig(data=2, gauss=4))
+    gsize = mesh.shape["gauss"]
+    cap = 64
+    block = cap // gsize
+    rng = np.random.default_rng(5)
+    # alive gaussians in every shard block (first half of each block)
+    gauss = make_store(n_alive=cap, cap=cap, rng=rng)
+    alive = np.zeros(cap, bool)
+    for b in range(gsize):
+        alive[b * block : b * block + block // 2] = True
+    gauss["alive"] = jnp.asarray(alive)
+    # high screen-grads only in shard 2's block
+    grads = np.zeros(cap, np.float32)
+    req_lo, req_hi = 2 * block, 2 * block + 4
+    grads[req_lo:req_hi] = 1.0
+    adc = densify.AdcState(
+        grad_accum=jnp.asarray(grads),
+        count=jnp.ones(cap, jnp.int32),
+        max_radii=jnp.ones(cap),
+    )
+    params = full_params(gauss)
+    opt = optim.make_optimizer(OptimConfig())
+    opt_state = opt.init(params)
+    cfg = DensifyConfig()
+    key = jax.random.PRNGKey(3)
+
+    out_g, _, _, rep_g = densify.densify_and_prune(
+        gauss, opt_state, adc, key, cfg, 1.0, 100.0
+    )
+    out_s, _, _, rep_s = densify.densify_and_prune_sharded(
+        gauss, opt_state, adc, key, cfg, 1.0, 100.0, mesh
+    )
+    # identical grant totals (headroom in every shard)
+    assert int(rep_s.num_cloned + rep_s.num_split) == int(
+        rep_g.num_cloned + rep_g.num_split
+    ) == 4
+    assert int(rep_s.num_alive) == int(rep_g.num_alive)
+    # all newly-granted slots live in the requesters' shard block
+    new_slots = np.flatnonzero(
+        np.asarray(out_s["alive"]) & ~alive
+    )
+    assert len(new_slots) == 4
+    assert all(req_lo <= s < req_lo + block for s in new_slots), new_slots
+
+
+def test_sharded_adc_per_shard_capacity_exhaustion():
+    """A full shard defers its requesters even when other shards have
+    room (per-shard free list semantics) — and stays finite/consistent."""
+    from casualhdrsplat_tpu.config import ParallelConfig
+    from casualhdrsplat_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh(ParallelConfig(data=2, gauss=4))
+    gsize = mesh.shape["gauss"]
+    cap = 64
+    block = cap // gsize
+    gauss = make_store(n_alive=cap, cap=cap)
+    alive = np.zeros(cap, bool)
+    alive[:block] = True  # shard 0 completely full
+    gauss["alive"] = jnp.asarray(alive)
+    grads = np.zeros(cap, np.float32)
+    grads[:4] = 1.0  # requesters in the full shard
+    adc = densify.AdcState(
+        grad_accum=jnp.asarray(grads),
+        count=jnp.ones(cap, jnp.int32),
+        max_radii=jnp.ones(cap),
+    )
+    params = full_params(gauss)
+    opt = optim.make_optimizer(OptimConfig())
+    opt_state = opt.init(params)
+    out, _, _, rep = densify.densify_and_prune_sharded(
+        gauss, opt_state, adc, jax.random.PRNGKey(0), DensifyConfig(),
+        1.0, 100.0, mesh,
+    )
+    assert int(rep.num_cloned + rep.num_split) == 0  # deferred, not stolen
+    assert int(rep.num_alive) == block

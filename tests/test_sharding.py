@@ -34,6 +34,10 @@ def model_cfg(backend="xla"):
         rasterize=RasterizeConfig(
             tile_h=8, tile_w=16, tile_capacity=64, max_tiles_per_gaussian=32,
             chunk=32, backend=backend,
+            # exact-to-exact equivalence: the sharded path bins per view
+            # (round-robin dedup), so the single-device reference must not
+            # take the shared-binning approximation branch
+            shared_binning=False,
         ),
     )
 
