@@ -80,13 +80,78 @@ def build(n_gaussians=100_000, size=800, n_virtual=4):
     return step, args, size * size * n_virtual
 
 
+def build_sharded(n_gaussians=100_000, size=800, n_virtual=4, data=1, gauss=1):
+    """Same workload through the shard_map path (parallel/render.py) on a
+    (data x gauss) mesh — on one chip this measures the sharded code
+    path's overhead vs the direct path (VERDICT r1 next-step 2 criterion:
+    within ~15%)."""
+    import jax
+    import jax.numpy as jnp
+
+    from casualhdrsplat_tpu.config import ParallelConfig, RasterizeConfig
+    from casualhdrsplat_tpu.data import synthetic
+    from casualhdrsplat_tpu.geometry import spline
+    from casualhdrsplat_tpu.models import gaussians as gauss_mod
+    from casualhdrsplat_tpu.models import losses
+    from casualhdrsplat_tpu.ops import sh as sh_ops
+    from casualhdrsplat_tpu.parallel import mesh as mesh_mod
+    from casualhdrsplat_tpu.parallel import render as prender
+    from casualhdrsplat_tpu.parallel import sharding as shard_mod
+
+    rng = np.random.default_rng(0)
+    cloud = synthetic.random_cloud(rng, n_gaussians, scale_range=(0.004, 0.02))
+    cam = synthetic.orbit_camera(0.0, width=size, img_height=size)
+    knots = synthetic.orbit_knots(6, angle_span=0.12, width=size, img_height=size)
+    t_k = spline.sample_virtual_times(1.0, 0.6, n_virtual)
+    viewmats = spline.cubic_bspline_interpolation(knots, -2.0, 1.0, t_k)
+
+    cfg = RasterizeConfig(
+        tile_h=16, tile_w=16, tile_capacity=1024, max_tiles_per_gaussian=32,
+        chunk=128, backend="auto",
+    )
+    mesh = mesh_mod.make_mesh(ParallelConfig(data=data, gauss=gauss))
+    store = gauss_mod.create(
+        np.asarray(cloud.means3d), np.clip(np.asarray(cloud.colors), 0, 1),
+        n_gaussians, sh_degree=0,
+    )
+    store["quats"] = cloud.quats
+    store["log_scales"] = jnp.log(cloud.scales)
+    store["opacity_logit"] = jnp.log(cloud.opacities / (1 - cloud.opacities))
+    store = shard_mod.shard_params({"gaussians": store} | {
+        "knot_deltas": jnp.zeros((1, 6)), "log_exposures": jnp.zeros((1,)),
+        "crf": {},
+    }, mesh)["gaussians"]
+    target = jnp.asarray(rng.uniform(size=(size, size, 3)), jnp.float32)
+
+    @jax.jit
+    def step(gp):
+        def loss_fn(gp):
+            hdr, alphas, radii, depths, dropped = prender.rasterize_sharded(
+                gp, viewmats, cam.fx, cam.fy, cam.cx, cam.cy,
+                cam.width, cam.height, cfg, mesh, sh_degree=0,
+            )
+            blurred = jnp.mean(jnp.clip(hdr, 0.0, 1.0), axis=0)
+            return losses.photometric(blurred, target, 0.2)
+
+        return jax.value_and_grad(loss_fn, allow_int=True)(gp)
+
+    return step, (store,), size * size * n_virtual
+
+
 def main():
+    import sys
+
     import jax
 
     from casualhdrsplat_tpu.utils import runtime
 
     runtime.setup()
-    step, args, pixels = build()
+    if "--sharded" in sys.argv:
+        i = sys.argv.index("--sharded")
+        dg = sys.argv[i + 1].split(",") if len(sys.argv) > i + 1 else ["1", "1"]
+        step, args, pixels = build_sharded(data=int(dg[0]), gauss=int(dg[1]))
+    else:
+        step, args, pixels = build()
 
     l, grads = step(*args)  # compile
     assert np.isfinite(float(l)), float(l)  # host readback = real sync
@@ -105,10 +170,13 @@ def main():
     dt = (time.time() - t0) / n_iter
 
     mpix_s = pixels / dt / 1e6
+    metric = "rendered Mpix/s/chip fwd+bwd"
+    if "--sharded" in sys.argv:
+        metric += " (shard_map path)"
     print(
         json.dumps(
             {
-                "metric": "rendered Mpix/s/chip fwd+bwd",
+                "metric": metric,
                 "value": round(mpix_s, 3),
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix_s / 10.0, 3),

@@ -91,6 +91,11 @@ class DensifyConfig:
     prune_screen_radius: float = 0.15  # fraction of image diagonal
     opacity_reset_interval: int = 3000
     sh_degree_interval: int = 1000
+    # Sharded runs only: when per-shard alive counts diverge by more than
+    # this fraction of the per-shard block after an ADC round, repack the
+    # store evenly across shards (train/densify.rebalance_store, SURVEY
+    # §5.8 densification resharding).  0 disables.
+    rebalance_threshold: float = 0.25
 
 
 @dataclass

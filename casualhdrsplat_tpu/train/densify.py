@@ -223,6 +223,69 @@ def densify_and_prune_sharded(
     )(gauss, opt_state, adc, key)
 
 
+def shard_alive_counts(alive: jnp.ndarray, n_shards: int) -> jnp.ndarray:
+    """Alive Gaussians per contiguous shard block, [n_shards]."""
+    return jnp.sum(alive.reshape(n_shards, -1), axis=1)
+
+
+def rebalance_store(
+    gauss: Dict[str, jnp.ndarray],
+    opt_state,
+    adc: AdcState,
+    n_shards: int,
+    mesh=None,
+) -> Tuple[Dict[str, jnp.ndarray], object, AdcState]:
+    """Redistribute alive Gaussians evenly across shard blocks (SURVEY.md
+    §5.8 "all_to_all during densification resharding", P5).
+
+    The shard-local ADC (densify_and_prune_sharded) keeps slot surgery
+    collective-free, at the cost of possible imbalance when the scene's
+    detail concentrates in one shard's slots.  This op repairs that:
+    alive slots get global ranks (index order, a stable sort) and rank r
+    moves to shard r % n_shards — per-shard counts then differ by at most
+    one.  Everything is ONE gather permutation applied to every
+    capacity-indexed leaf (params, Adam moments, ADC stats); under a
+    `gauss`-sharded input XLA lowers it to the all-to-all-style reshard
+    the survey calls for.  Rare (driven by an imbalance threshold), so
+    the gather cost (~10-25 ns/row on this TPU) is off the hot path.
+    """
+    alive = gauss["alive"]
+    cap = alive.shape[0]
+    if cap % n_shards:
+        raise ValueError(f"capacity {cap} not divisible by {n_shards} shards")
+    block = cap // n_shards
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    # alive-first stable order; order[k] = source slot of global rank k
+    order = jnp.argsort(jnp.where(alive, idx, idx + cap))
+    # rank k lands at dest(k) = (k % S) * block + k // S (a bijection);
+    # its inverse is k(j) = (j % block) * S + j // block, so the gather
+    # map is pure index arithmetic — no scatter, no second sort.
+    src = order[(idx % block) * n_shards + idx // block]
+
+    sharded_out = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from casualhdrsplat_tpu.parallel.mesh import GAUSS_AXIS
+
+        sharded_out = NamedSharding(mesh, P(GAUSS_AXIS))
+
+    def take(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == cap:
+            if sharded_out is not None:
+                # sharding-in-types can't infer the permuted layout; ask
+                # for the gauss-sharded result directly (XLA lowers the
+                # cross-shard moves to the all-to-all-style reshard)
+                return leaf.at[src].get(out_sharding=sharded_out)
+            return leaf[src]
+        return leaf
+
+    out = {k: take(v) for k, v in gauss.items()}
+    adc_out = AdcState(*(take(x) for x in adc))
+    opt_out = jax.tree.map(take, opt_state)
+    return out, opt_out, adc_out
+
+
 def reset_opacity(gauss: Dict[str, jnp.ndarray], value: float = 0.01):
     """Clamp opacities down (every 3k steps in the lineage) so pruning can
     retire Gaussians that stopped contributing."""

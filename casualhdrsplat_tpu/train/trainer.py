@@ -144,6 +144,40 @@ class Trainer:
         params = dict(params, gaussians=gauss)
         return params, opt_state, adc, report
 
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _rebalance(self, params, opt_state, adc):
+        from casualhdrsplat_tpu.parallel.mesh import GAUSS_AXIS
+
+        gauss, opt_state, adc = densify_mod.rebalance_store(
+            params["gaussians"], opt_state, adc,
+            self.mesh.shape[GAUSS_AXIS], mesh=self.mesh,
+        )
+        return dict(params, gaussians=gauss), opt_state, adc
+
+    def _maybe_rebalance(self) -> bool:
+        """After a sharded ADC round: repack the store across shards when
+        per-shard alive counts drifted past the configured imbalance."""
+        thr = self.cfg.densify.rebalance_threshold
+        if self.mesh is None or thr <= 0:
+            return False
+        from casualhdrsplat_tpu.parallel.mesh import GAUSS_AXIS
+
+        n_shards = self.mesh.shape[GAUSS_AXIS]
+        if n_shards <= 1:
+            return False
+        counts = np.asarray(
+            densify_mod.shard_alive_counts(
+                self.params["gaussians"]["alive"], n_shards
+            )
+        )
+        block = self.params["gaussians"]["alive"].shape[0] // n_shards
+        if counts.max() - counts.min() <= thr * block:
+            return False
+        self.params, self.opt_state, self.adc = self._rebalance(
+            self.params, self.opt_state, self.adc
+        )
+        return True
+
     # -- loop --------------------------------------------------------------
 
     def active_sh_degree(self) -> int:
@@ -176,6 +210,7 @@ class Trainer:
                 self.params, self.opt_state, self.adc, sub,
                 self.step > d.opacity_reset_interval,
             )
+            self._maybe_rebalance()
         else:
             report = None
         # Reset only while densification is active: the lineage stops at

@@ -250,3 +250,92 @@ def test_sharded_adc_per_shard_capacity_exhaustion():
     )
     assert int(rep.num_cloned + rep.num_split) == 0  # deferred, not stolen
     assert int(rep.num_alive) == block
+
+
+def test_rebalance_store_evens_shards_and_preserves_content():
+    """rebalance_store (SURVEY.md §5.8 densification resharding): a
+    maximally imbalanced store repacks to per-shard alive counts within
+    1 of each other, carrying params, Adam moments, and ADC stats with
+    each Gaussian."""
+    n_shards, cap = 4, 64
+    rng = np.random.default_rng(7)
+    gauss = make_store(n_alive=20, cap=cap, rng=rng)  # all in shard 0+1
+    params = full_params(gauss)
+    opt = optim.make_optimizer(OptimConfig())
+    opt_state = opt.init(params)
+    # make moments distinctive so we can check they travel with the slot
+    opt_state = jax.tree.map(
+        lambda l: l + 1.0
+        if hasattr(l, "ndim") and l.ndim >= 1 and l.shape[0] == cap
+        and jnp.issubdtype(l.dtype, jnp.floating)
+        else l,
+        opt_state,
+    )
+    adc = densify.AdcState(
+        grad_accum=jnp.arange(cap, dtype=jnp.float32),
+        count=jnp.ones(cap, jnp.int32),
+        max_radii=jnp.arange(cap, dtype=jnp.float32) * 2.0,
+    )
+    counts0 = np.asarray(densify.shard_alive_counts(gauss["alive"], n_shards))
+    assert counts0.max() - counts0.min() > 1  # fixture is imbalanced
+
+    out, opt2, adc2 = densify.rebalance_store(gauss, opt_state, adc, n_shards)
+
+    counts = np.asarray(densify.shard_alive_counts(out["alive"], n_shards))
+    assert counts.sum() == 20
+    assert counts.max() - counts.min() <= 1, counts
+    # alive content preserved as a set (rows travel intact)
+    def alive_rows(g):
+        rows = np.asarray(g["means"])[np.asarray(g["alive"])]
+        return rows[np.lexsort(rows.T)]
+    np.testing.assert_allclose(alive_rows(out), alive_rows(gauss))
+    # adc stats and opt moments follow their gaussian: find where old
+    # slot 5 (alive) landed and check its stats came along
+    src5 = np.asarray(gauss["means"])[5]
+    dest = int(np.argmin(np.abs(np.asarray(out["means"]) - src5).sum(axis=1)))
+    assert float(adc2.grad_accum[dest]) == 5.0
+    assert float(adc2.max_radii[dest]) == 10.0
+    mom = [
+        l for l in jax.tree.leaves(opt2)
+        if hasattr(l, "ndim") and l.ndim == 2 and l.shape == (cap, 3)
+        and jnp.issubdtype(l.dtype, jnp.floating)
+    ]
+    assert mom  # means moments exist and were permuted (stay all-ones)
+    np.testing.assert_allclose(np.asarray(mom[0])[dest], 1.0)
+
+
+def test_trainer_rebalance_on_mesh():
+    """Trainer._maybe_rebalance: an imbalanced sharded store triggers the
+    repack, shardings stay on `gauss`, and training continues finite."""
+    from casualhdrsplat_tpu import config
+    from casualhdrsplat_tpu.data import dataset as dataset_mod
+    from casualhdrsplat_tpu.train.trainer import Trainer
+
+    ds = dataset_mod.make_synthetic_dataset(
+        seed=3, n_gaussians=24, n_frames=3, n_virtual=2, size=16
+    )
+    cfg = config.TrainConfig(name="rebalance-test")
+    cfg.model.max_gaussians = 64
+    cfg.model.sh_degree = 1
+    cfg.model.num_virtual_views = 2
+    cfg.model.crf.kind = "identity"
+    cfg.model.rasterize = config.RasterizeConfig(
+        tile_h=8, tile_w=16, tile_capacity=64, max_tiles_per_gaussian=32,
+        chunk=32, backend="xla", packed=False,
+    )
+    cfg.densify.enabled = False
+    cfg.densify.rebalance_threshold = 0.25
+    cfg.parallel = config.ParallelConfig(data=2, gauss=4)
+    cfg.data.eval_every = 0
+    t = Trainer(cfg, ds)
+    # init packs all 24 alive into slots 0..23 -> shards (16,8,0,0)
+    assert t._maybe_rebalance()
+    counts = np.asarray(
+        densify.shard_alive_counts(t.params["gaussians"]["alive"], 4)
+    )
+    assert counts.max() - counts.min() <= 1, counts
+    assert t.params["gaussians"]["means"].sharding.spec[0] == "gauss"
+    out = t.run_step()
+    assert np.isfinite(out["loss"])
+    # balanced now: second call is a no-op
+    assert not t._maybe_rebalance()
