@@ -92,6 +92,9 @@ def cmd_render(args):
                 t.params, t.scene, jnp.asarray(i), cfg.model, hdr_output=True
             )
             np.save(os.path.join(args.out, f"hdr_{i:04d}.npy"), np.asarray(img))
+            metrics_mod.save_hdr(
+                os.path.join(args.out, f"hdr_{i:04d}.hdr"), np.asarray(img)
+            )
         elif args.mode == "exposure-sweep":
             mid = t.scene.timestamps[i] + 0.5 * imf.exposure_of(t.params, i)
             viewmat = imf.poses_at(t.params, t.scene, jnp.array([mid]), cfg.model)[0]

@@ -40,6 +40,44 @@ class MetricsLogger:
         self._f.close()
 
 
+def save_hdr(path: str, img) -> None:
+    """Write an [H,W,3] linear float image as Radiance .hdr (RGBE) — the
+    HDR-ecosystem interop format for the C20 'render HDR images' output
+    (flat scanlines, no RLE; every Radiance reader accepts them)."""
+    import numpy as np
+
+    arr = np.asarray(img, np.float32)
+    h, w, _ = arr.shape
+    v = np.maximum(arr.max(axis=-1), 1e-32)
+    # v = m * 2^e with m in [0.5, 1); mantissa byte scale = m * 256 / v
+    m, e = np.frexp(v)
+    scale = m * 255.9999 / v
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(arr * scale[..., None] + 0.5, 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(arr.max(axis=-1) < 1e-32, 0, e + 128).astype(np.uint8)
+    rgbe[..., :3][arr.max(axis=-1) < 1e-32] = 0
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())
+
+
+def load_hdr(path: str):
+    """Read a flat-scanline Radiance .hdr back to [H,W,3] linear float."""
+    import numpy as np
+
+    with open(path, "rb") as f:
+        data = f.read()
+    head_end = data.index(b"\n\n") + 2
+    dim_end = data.index(b"\n", head_end)
+    dims = data[head_end:dim_end].decode().split()
+    h, w = int(dims[1]), int(dims[3])
+    rgbe = np.frombuffer(data[dim_end + 1 :], np.uint8).reshape(h, w, 4)
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e == 0, 0.0, np.ldexp(1.0, e - 128 - 8))
+    return rgbe[..., :3].astype(np.float32) * scale[..., None]
+
+
 def save_image(path: str, img, clip: bool = True) -> None:
     """Write an [H,W,3] float image as PNG (PIL, gated)."""
     import numpy as np

@@ -92,3 +92,27 @@ def test_evaluate_returns_metrics(tiny_dataset):
     t = Trainer(cfg, tiny_dataset)
     m = t.evaluate()
     assert "eval_psnr" in m and np.isfinite(m["eval_psnr"])
+
+
+def test_hdr_rgbe_round_trip(tmp_path):
+    """Radiance .hdr writer (C20 'render HDR images' interop): RGBE
+    round-trips linear radiance within the format's ~0.4% mantissa
+    quantization, across several exposure stops."""
+    import numpy as np
+
+    from casualhdrsplat_tpu.train import metrics
+
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(0.0, 1.0, size=(7, 11, 3)) ** 2).astype(np.float32)
+    img *= np.logspace(-3, 2, 7)[:, None, None]  # HDR dynamic range
+    img[0, 0] = 0.0  # exact-black pixel
+    path = str(tmp_path / "x.hdr")
+    metrics.save_hdr(path, img)
+    back = metrics.load_hdr(path)
+    assert back.shape == img.shape
+    # RGBE error bound: the 8-bit mantissa is shared per pixel, so the
+    # absolute error is ~1/256 of the pixel's BRIGHTEST channel
+    bound = img.max(axis=-1, keepdims=True) / 256.0 + 1e-30
+    assert np.all(np.abs(back - img) <= bound)
+    with open(path, "rb") as f:
+        assert f.read(10) == b"#?RADIANCE"
