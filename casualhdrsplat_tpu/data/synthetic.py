@@ -112,6 +112,9 @@ def make_casual_video(
     blur: bool = True,
     renderer: str = "oracle",
     raster_cfg=None,
+    hdr_max: float = 2.5,
+    scale_range=(0.02, 0.08),
+    extent: float = 1.0,
 ) -> SyntheticVideo:
     """Render a ground-truth auto-exposed blurry video with the oracle.
 
@@ -135,7 +138,9 @@ def make_casual_video(
         if raster_cfg is None:
             raster_cfg = config_mod.RasterizeConfig(shared_binning=False)
 
-    cloud = random_cloud(rng, n_gaussians, hdr_max=2.5)
+    cloud = random_cloud(
+        rng, n_gaussians, extent=extent, hdr_max=hdr_max, scale_range=scale_range
+    )
     cam = orbit_camera(0.0, width=size, img_height=size)
     frame_angles = np.linspace(-angle_span / 2, angle_span / 2, n_frames)
     poses = jnp.stack(

@@ -40,9 +40,15 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, window: int = 11, sigma: float = 1.5):
 
     mu_a, mu_b = blur(a), blur(b)
     mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
-    var_a = blur(a * a) - mu_aa
-    var_b = blur(b * b) - mu_bb
+    # E[x^2] - E[x]^2 cancels catastrophically in f32 on near-flat bright
+    # windows, producing negative variances / inflated covariances and
+    # per-pixel SSIM > 1 (observed up to 1.02 on 800^2 evals).  Clamp the
+    # variances at zero and the covariance by Cauchy-Schwarz.
+    var_a = jnp.maximum(blur(a * a) - mu_aa, 0.0)
+    var_b = jnp.maximum(blur(b * b) - mu_bb, 0.0)
     cov = blur(a * b) - mu_ab
+    lim = jnp.sqrt(jnp.maximum(var_a * var_b, 1e-24))  # eps: finite sqrt grad
+    cov = jnp.clip(cov, -lim, lim)
     s = ((2 * mu_ab + c1) * (2 * cov + c2)) / (
         (mu_aa + mu_bb + c1) * (var_a + var_b + c2)
     )

@@ -76,9 +76,13 @@ class Trainer:
     # -- jitted programs ---------------------------------------------------
 
     @functools.partial(jax.jit, static_argnames=("self", "sh_degree"))
-    def _train_step(self, params, opt_state, images, frame_id, sh_degree):
+    def _train_step(self, params, opt_state, adc, images, frame_id, sh_degree):
         # `images` is an explicit device-resident arg (NOT read off `self`)
         # so the frame stack is not baked into the executable as a constant.
+        # ADC stat accumulation runs INSIDE the step: eager per-step
+        # dispatches each cost a host->device round trip on the tunneled
+        # TPU backend (measured ~180 ms/step of pure dispatch overhead at
+        # 131k capacity).
         cfg = self.cfg
         target = images[frame_id]
         offset = jnp.zeros((cfg.model.max_gaussians, 2))
@@ -125,7 +129,13 @@ class Trainer:
             params,
             updates,
         )
-        return params, opt_state, loss, aux, g2d
+        adc = densify_mod.accumulate(
+            adc, g2d, aux["radii"],
+            image_size=(self.dataset.width, self.dataset.height),
+        )
+        # one fused scalar vector -> ONE host readback per step in run_step
+        scalars = jnp.stack([loss, aux["psnr"]])
+        return params, opt_state, adc, scalars
 
     @functools.partial(jax.jit, static_argnames=("self", "screen_prune"))
     def _densify(self, params, opt_state, adc, key, screen_prune):
@@ -190,13 +200,9 @@ class Trainer:
 
     def run_step(self) -> Dict[str, float]:
         frame = int(self._rng.choice(self.dataset.train_indices))
-        self.params, self.opt_state, loss, aux, g2d = self._train_step(
-            self.params, self.opt_state, self.images, jnp.asarray(frame),
-            self.active_sh_degree(),
-        )
-        self.adc = densify_mod.accumulate(
-            self.adc, g2d, aux["radii"],
-            image_size=(self.dataset.width, self.dataset.height),
+        self.params, self.opt_state, self.adc, scalars = self._train_step(
+            self.params, self.opt_state, self.adc, self.images,
+            jnp.asarray(frame), self.active_sh_degree(),
         )
         self.step += 1
         d = self.cfg.densify
@@ -225,7 +231,8 @@ class Trainer:
                 self.params,
                 gaussians=densify_mod.reset_opacity(self.params["gaussians"]),
             )
-        out = {"loss": float(loss), "psnr": float(aux["psnr"])}
+        loss_v, psnr_v = np.asarray(scalars)
+        out = {"loss": float(loss_v), "psnr": float(psnr_v)}
         if report is not None:
             out.update(
                 cloned=int(report.num_cloned),
