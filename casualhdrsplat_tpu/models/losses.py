@@ -14,10 +14,22 @@ def l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(a - b))
 
 
-@functools.partial(jax.jit, static_argnames=("window", "sigma"))
-def ssim(a: jnp.ndarray, b: jnp.ndarray, window: int = 11, sigma: float = 1.5):
+@functools.partial(jax.jit, static_argnames=("window", "sigma", "clamp"))
+def ssim(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    window: int = 11,
+    sigma: float = 1.5,
+    clamp: bool = True,
+):
     """Mean SSIM over an [H,W,3] pair (Gaussian 11x11 window, the standard
-    constants of the 3DGS lineage). Differentiable."""
+    constants of the 3DGS lineage). Differentiable.
+
+    clamp=True (reported metrics) bounds the f32 moment cancellation that
+    otherwise yields SSIM > 1 on near-flat bright windows.  The TRAINING
+    loss uses clamp=False: that is the lineage's exact formulation (3DGS/
+    fused-ssim don't clamp either), the tiny overshoot is harmless in a
+    gradient, and the clamps cost several full-image ops in fwd+bwd."""
     c1, c2 = 0.01**2, 0.03**2
     half = window // 2
     x = jnp.arange(window, dtype=jnp.float32) - half
@@ -40,15 +52,22 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, window: int = 11, sigma: float = 1.5):
 
     mu_a, mu_b = blur(a), blur(b)
     mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
-    # E[x^2] - E[x]^2 cancels catastrophically in f32 on near-flat bright
-    # windows, producing negative variances / inflated covariances and
-    # per-pixel SSIM > 1 (observed up to 1.02 on 800^2 evals).  Clamp the
-    # variances at zero and the covariance by Cauchy-Schwarz.
-    var_a = jnp.maximum(blur(a * a) - mu_aa, 0.0)
-    var_b = jnp.maximum(blur(b * b) - mu_bb, 0.0)
+    var_a = blur(a * a) - mu_aa
+    var_b = blur(b * b) - mu_bb
     cov = blur(a * b) - mu_ab
-    lim = jnp.sqrt(jnp.maximum(var_a * var_b, 1e-24))  # eps: finite sqrt grad
-    cov = jnp.clip(cov, -lim, lim)
+    if clamp:
+        # E[x^2] - E[x]^2 cancels catastrophically in f32 on near-flat
+        # bright windows, producing negative variances / inflated
+        # covariances and per-pixel SSIM > 1 (observed up to 1.02 on
+        # 800^2 evals).  Clamp variances at zero, covariance by
+        # Cauchy-Schwarz; stop_gradient because the bound is a numerical
+        # projection, not a term to differentiate through.
+        var_a = jnp.maximum(var_a, 0.0)
+        var_b = jnp.maximum(var_b, 0.0)
+        lim = jax.lax.stop_gradient(
+            jnp.sqrt(jnp.maximum(var_a * var_b, 1e-24))
+        )
+        cov = jnp.clip(cov, -lim, lim)
     s = ((2 * mu_ab + c1) * (2 * cov + c2)) / (
         (mu_aa + mu_bb + c1) * (var_a + var_b + c2)
     )
@@ -56,7 +75,7 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, window: int = 11, sigma: float = 1.5):
 
 
 def d_ssim(a, b):
-    return (1.0 - ssim(a, b)) / 2.0
+    return (1.0 - ssim(a, b, clamp=False)) / 2.0
 
 
 def photometric(pred, target, ssim_lambda: float):

@@ -40,7 +40,11 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 
 # Scalar-prefetch arrays live in SMEM (~1 MB): 6 arrays x ~45k chunks
 # overflowed it at production scale (remote compile crash), so out_row and
-# the two control flags travel packed in ONE int32.
+# the two control flags travel packed in ONE int32, and the segment
+# bounds — only ever compared against positions inside one chunk-sized
+# block — travel BLOCK-RELATIVE (clamped to [0, chunk]) packed 16|16 in a
+# second int32.  3 prefetch words/chunk total; 8 virtual views at 131k
+# capacity (69k chunks) overflowed SMEM with 4.
 _ROW_MASK = (1 << 24) - 1
 _FIRST_BIT = 1 << 24
 _NEW_BIT = 1 << 25
@@ -52,6 +56,15 @@ def pack_meta(chunks):
         | chunks.first * _FIRST_BIT
         | chunks.block_new * _NEW_BIT
     ).astype(jnp.int32)
+
+
+def pack_seg(chunks, g: int):
+    """Block-relative (lo, hi) clamped to [0, g], packed lo | hi << 16.
+    Empty segments (lo == hi) stay empty after clamping."""
+    start = chunks.block_id * g
+    lo = jnp.clip(chunks.seg_lo - start, 0, g)
+    hi = jnp.clip(chunks.seg_hi - start, 0, g)
+    return (lo | (hi << 16)).astype(jnp.int32)
 
 
 def _origin_coords(out_row, statics: CompositeStatics):
@@ -66,9 +79,13 @@ def _origin_coords(out_row, statics: CompositeStatics):
     return px, py
 
 
-def _seg_mask(block_start, seg_lo, seg_hi, g: int):
-    pos = block_start + jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
-    return jnp.logical_and(pos >= seg_lo, pos < seg_hi)  # (G,1)
+def _seg_unpack(seg):
+    return seg & 0xFFFF, seg >> 16
+
+
+def _seg_mask(lo_rel, hi_rel, g: int):
+    pos = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+    return jnp.logical_and(pos >= lo_rel, pos < hi_rel)  # (G,1)
 
 
 # --------------------------------------------------------------------------
@@ -77,12 +94,13 @@ def _seg_mask(block_start, seg_lo, seg_hi, g: int):
 
 
 def _fwd_kernel(
-    block_ref, meta_ref, lo_ref, hi_ref,
+    block_ref, meta_ref, seg_ref,
     chunks_ref, out_ref, t_scr, *, statics,
 ):
     g = statics.chunk
     i = pl.program_id(0)
     meta = meta_ref[i]
+    lo_rel, hi_rel = _seg_unpack(seg_ref[i])
     px, py = _origin_coords(meta & _ROW_MASK, statics)
     l_strict = _tri_strict(g)
 
@@ -94,12 +112,12 @@ def _fwd_kernel(
     t_in = t_scr[...]
 
     # Skip saturated tiles AND empty segments (unused budget chunks carry
-    # seg_lo == seg_hi == 0): an all-masked chunk is a no-op, and skipping
-    # it makes over-provisioned chunk budgets (the sharded path's
-    # worst-case per-device bound) nearly free.
+    # lo == hi): an all-masked chunk is a no-op, and skipping it makes
+    # over-provisioned chunk budgets (the sharded path's worst-case
+    # per-device bound) nearly free.
     @pl.when(
         jnp.logical_and(
-            jnp.max(t_in) >= statics.transmittance_eps, lo_ref[i] < hi_ref[i]
+            jnp.max(t_in) >= statics.transmittance_eps, lo_rel < hi_rel
         )
     )
     def _():
@@ -107,7 +125,7 @@ def _fwd_kernel(
         alpha, *_ = _alpha_terms(
             chunk, px, py, statics.alpha_clip, statics.alpha_threshold
         )
-        mask = _seg_mask(block_ref[i] * g, lo_ref[i], hi_ref[i], g)
+        mask = _seg_mask(lo_rel, hi_rel, g)
         alpha = jnp.where(mask, alpha, 0.0)
         log1m = jnp.log1p(-alpha)
         s_excl = _mm(l_strict, log1m)
@@ -133,7 +151,7 @@ def forward(
     p = statics.tile_h * statics.tile_w
     kernel = functools.partial(_fwd_kernel, statics=statics)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(c,),
         in_specs=[
             pl.BlockSpec(
@@ -164,7 +182,7 @@ def forward(
         ),
         interpret=jax.default_backend() == "cpu",
     )(
-        chunks.block_id, pack_meta(chunks), chunks.seg_lo, chunks.seg_hi,
+        chunks.block_id, pack_meta(chunks), pack_seg(chunks, g),
         stream_payload,
     )
 
@@ -175,13 +193,14 @@ def forward(
 
 
 def _bwd_kernel(
-    block_ref, meta_ref, lo_ref, hi_ref,
+    block_ref, meta_ref, seg_ref,
     chunks_ref, out4_ref, g4_ref, d_ref, t_scr, r_scr,
     *, statics,
 ):
     g = statics.chunk
     i = pl.program_id(0)
     meta = meta_ref[i]
+    lo_rel, hi_rel = _seg_unpack(seg_ref[i])
     px, py = _origin_coords(meta & _ROW_MASK, statics)
     l_strict = _tri_strict(g)
     l_incl = l_strict + jnp.eye(g, dtype=jnp.float32)
@@ -193,7 +212,7 @@ def _bwd_kernel(
 
     t_in = t_scr[...]
     live_chunk = jnp.logical_and(
-        jnp.max(t_in) >= statics.transmittance_eps, lo_ref[i] < hi_ref[i]
+        jnp.max(t_in) >= statics.transmittance_eps, lo_rel < hi_rel
     )
 
     # d output lives in STREAM space (same revisiting pattern as the
@@ -211,7 +230,7 @@ def _bwd_kernel(
         alpha, alpha_raw, expf, dx, dy, (cxx, cxy, cyy) = _alpha_terms(
             chunk, px, py, statics.alpha_clip, statics.alpha_threshold
         )
-        mask = _seg_mask(block_ref[i] * g, lo_ref[i], hi_ref[i], g)
+        mask = _seg_mask(lo_rel, hi_rel, g)
         alpha = jnp.where(mask, alpha, 0.0)
         log1m = jnp.log1p(-alpha)
         s_excl = _mm(l_strict, log1m)
@@ -277,7 +296,7 @@ def backward(
     stream_map = lambda i, block_ref, *_: (block_ref[i], 0)
     row_map = lambda i, block_ref, meta_ref, *_: (meta_ref[i] & _ROW_MASK, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(c,),
         in_specs=[
             pl.BlockSpec((g, pd), stream_map, memory_space=pltpu.VMEM),
@@ -305,7 +324,7 @@ def backward(
         ),
         interpret=jax.default_backend() == "cpu",
     )(
-        chunks.block_id, pack_meta(chunks), chunks.seg_lo, chunks.seg_hi,
+        chunks.block_id, pack_meta(chunks), pack_seg(chunks, g),
         stream_payload, out4, g4,
     )
 

@@ -57,3 +57,17 @@ def test_exposure_prior():
     init = jnp.zeros(4)
     assert float(losses.exposure_prior(le, init)) == 0.0  # mean matches
     assert float(losses.exposure_prior(le + 1.0, init)) > 0.5
+
+
+def test_ssim_bounded_on_flat_bright_windows():
+    """f32 moment cancellation must not push reported SSIM above 1 (it
+    reached 1.02 on 800^2 evals before the clamp); identical images score
+    exactly 1."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = 0.9 + 1e-4 * rng.standard_normal((128, 128, 3))
+    a = jnp.asarray(base, jnp.float32)
+    b = jnp.asarray(base + 1e-5 * rng.standard_normal(base.shape), jnp.float32)
+    assert float(losses.ssim(a, b)) <= 1.0 + 1e-6
+    assert abs(float(losses.ssim(a, a)) - 1.0) < 1e-5
