@@ -257,6 +257,80 @@ def pack_stream_chunks(
     )
 
 
+def waterfill_segments(seg_len: jnp.ndarray, budget: int):
+    """Cap per-tile segment lengths at the largest uniform level `cap`
+    such that sum(min(seg_len, cap)) <= budget.
+
+    This is the graceful stream-overflow policy: each overloaded tile
+    keeps its NEAREST `cap` intersections (slots are depth-ordered) — the
+    same keep-nearest semantics as the dense table's per-tile capacity —
+    instead of the previous clip-at-end policy, which truncated the
+    stream in tile-major order and erased ENTIRE trailing tiles (the
+    bottom of the image) whenever the budget overflowed.
+
+    Returns (seg_c [T] capped lengths, starts_c [T+1] compacted starts).
+    O(T log T): one sort + closed-form waterfill level.
+    """
+    t = seg_len.shape[0]
+    s = jnp.sort(seg_len)
+    csum0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(s)[:-1].astype(jnp.int32)]
+    )  # total of the (i) smallest segments, before index i
+    rem = (t - jnp.arange(t)).astype(jnp.int32)
+    c_i = (budget - csum0) // rem  # best cap if tiles >= i are truncated
+    trunc = c_i < s  # tile i cannot be kept whole
+    cap = jnp.where(jnp.any(trunc), c_i[jnp.argmax(trunc)], jnp.int32(budget))
+    seg_c = jnp.minimum(seg_len, cap).astype(jnp.int32)
+    starts_c = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(seg_c).astype(jnp.int32)]
+    )
+    return seg_c, starts_c
+
+
+def compact_stream_ids(
+    s_gauss: jnp.ndarray,  # [N*mtpg] sorted intersection stream (gaussian ids)
+    starts: jnp.ndarray,  # [T+1] uncapped segment starts in s_gauss
+    starts_c: jnp.ndarray,  # [T+1] compacted starts (waterfill_segments)
+    budget: int,
+    pad_id: int,
+) -> jnp.ndarray:
+    """Gaussian ids of the budget-compacted stream: slot j holds entry
+    starts[t] + (j - starts_c[t]) of the sorted stream, t = tile owning
+    slot j.
+
+    The per-slot source offset is PIECEWISE CONSTANT over compacted
+    segments, so it is built with one T-sized boundary scatter + a cumsum
+    (no per-slot searchsorted).  The whole compaction runs under a
+    `lax.cond` on the overflow flag: when nothing overflowed the stream is
+    the identity prefix of `s_gauss` (a free slice) — overflow is the
+    exception, and the big re-gather prices only the exceptional step.
+    (Under vmap the cond degrades to both-branches; the vmapped per-view
+    path accepts that — shared binning, the default, is un-vmapped.)"""
+    t = starts_c.shape[0] - 1
+    j = jnp.arange(budget, dtype=jnp.int32)
+    total = s_gauss.shape[0]
+
+    def compacted():
+        shift_t = (starts[:t] - starts_c[:t]).astype(jnp.int32)  # [T]
+        deltas = jnp.diff(
+            jnp.concatenate([jnp.zeros((1,), jnp.int32), shift_t])
+        )
+        shift = jnp.zeros((budget,), jnp.int32).at[starts_c[:t]].add(
+            deltas, mode="drop"
+        )
+        src = j + jnp.cumsum(shift)
+        return jnp.where(
+            j < starts_c[t], s_gauss[jnp.minimum(src, total - 1)], pad_id
+        ).astype(jnp.int32)
+
+    def prefix():
+        return jnp.where(
+            j < starts_c[t], s_gauss[:budget], pad_id
+        ).astype(jnp.int32)
+
+    return jax.lax.cond(starts_c[t] < starts[t], compacted, prefix)
+
+
 def build_payload(
     proj: Projected, colors: jnp.ndarray, opacities: jnp.ndarray
 ) -> jnp.ndarray:

@@ -162,18 +162,18 @@ def _rasterize_packed(
             proj.means2d, proj.radii, proj.depths, proj.valid,
             width, height, th, tw, cfg.max_tiles_per_gaussian,
         )
-        # clip segments to the stream budget (overflow = dropped far pairs)
-        starts_c = jnp.minimum(starts, s_budget)
-        seg_c = jnp.minimum(starts[:-1] + seg_len, s_budget) - starts_c[:-1]
+        # budget overflow drops each overloaded tile's FAR TAIL
+        # (waterfilled keep-nearest — never whole trailing tiles)
+        seg_c, starts_c = binning.waterfill_segments(seg_len, s_budget)
         dropped = jnp.sum(seg_len) - jnp.sum(seg_c)
         chunks = binning.pack_stream_chunks(
             starts_c, seg_c, s_budget, g, c_budget,
             out_row_offset=view_idx * num_tiles, sentinel_row=sentinel,
         )
         payload = binning.build_payload(proj, view_colors, opacities)
-        # the ONE row gather: payload rows in stream order (tail -> pad row)
-        stream_ids = jnp.where(
-            jnp.arange(s_budget) < starts[num_tiles], s_gauss[:s_budget], n
+        # the ONE row gather: payload rows in compacted stream order
+        stream_ids = binning.compact_stream_ids(
+            s_gauss, starts, starts_c, s_budget, n
         )
         stream = payload[stream_ids]  # [s_budget, 16]
         # offset per-view metadata into the concatenated global stream
@@ -276,15 +276,17 @@ def _rasterize_packed_shared(
         ref_m2d, r_shared, ref_depth, valid_any,
         width, height, th, tw, cfg.max_tiles_per_gaussian,
     )
-    starts_c = jnp.minimum(starts, s_budget)
-    seg_c = jnp.minimum(starts[:-1] + seg_len, s_budget) - starts_c[:-1]
+    # waterfilled keep-nearest overflow policy (see the per-view path);
+    # matters MORE here: the Chebyshev inflation multiplies demand when
+    # within-exposure motion is large.
+    seg_c, starts_c = binning.waterfill_segments(seg_len, s_budget)
     dropped = jnp.sum(seg_len) - jnp.sum(seg_c)
     base = binning.pack_stream_chunks(
         starts_c, seg_c, s_budget, g, c_budget,
         out_row_offset=0, sentinel_row=sentinel,
     )
-    stream_ids = jnp.where(
-        jnp.arange(s_budget) < starts[num_tiles], s_gauss[:s_budget], n
+    stream_ids = binning.compact_stream_ids(
+        s_gauss, starts, starts_c, s_budget, n
     )
 
     def per_view_stream(proj, view_colors):

@@ -88,13 +88,13 @@ def _packed_local_tiles(
             aux_v[:, 0], aux_v[:, 1], aux_v[:, 2] > 0.5,
             width, height, th, tw, cfg.max_tiles_per_gaussian,
         )
-        # segments are contiguous, so clipping the cumulative starts at the
-        # budget clips every segment consistently
-        starts_c = jnp.minimum(starts, s_budget)
-        dropped = jnp.maximum(starts[num_tiles] - s_budget, 0)
-        stream_ids = jnp.where(
-            jnp.arange(s_budget) < starts[num_tiles], s_gauss[:s_budget], n_full
-        ).astype(jnp.int32)
+        # budget overflow drops each overloaded tile's FAR TAIL (waterfill
+        # keep-nearest; same policy as the single-chip packed path)
+        seg_c, starts_c = binning.waterfill_segments(seg_len, s_budget)
+        dropped = jnp.sum(seg_len) - jnp.sum(seg_c)
+        stream_ids = binning.compact_stream_ids(
+            s_gauss, starts, starts_c, s_budget, n_full
+        )
         return starts_c, stream_ids, dropped
 
     starts_b, ids_b, drop_b = jax.vmap(bin_view)(payload[my_views], aux[my_views])

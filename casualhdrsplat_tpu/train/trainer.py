@@ -134,7 +134,9 @@ class Trainer:
             image_size=(self.dataset.width, self.dataset.height),
         )
         # one fused scalar vector -> ONE host readback per step in run_step
-        scalars = jnp.stack([loss, aux["psnr"]])
+        scalars = jnp.stack(
+            [loss, aux["psnr"], aux["num_dropped"].astype(jnp.float32)]
+        )
         return params, opt_state, adc, scalars
 
     @functools.partial(jax.jit, static_argnames=("self", "screen_prune"))
@@ -231,8 +233,14 @@ class Trainer:
                 self.params,
                 gaussians=densify_mod.reset_opacity(self.params["gaussians"]),
             )
-        loss_v, psnr_v = np.asarray(scalars)
-        out = {"loss": float(loss_v), "psnr": float(psnr_v)}
+        loss_v, psnr_v, dropped_v = np.asarray(scalars)
+        # binning-budget overflow is an APPROXIMATION (waterfilled far-tail
+        # drop per tile) — surfaced so a blown budget is never silent
+        out = {
+            "loss": float(loss_v),
+            "psnr": float(psnr_v),
+            "dropped": float(dropped_v),
+        }
         if report is not None:
             out.update(
                 cloned=int(report.num_cloned),
