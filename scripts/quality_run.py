@@ -75,7 +75,7 @@ def crf_recovery_rmse(params, crf_cfg, gamma: float):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=800)
-    ap.add_argument("--gt-gaussians", type=int, default=15_000)
+    ap.add_argument("--gt-gaussians", type=int, default=30_000)
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--steps", type=int, default=10_000)
     ap.add_argument("--capacity", type=int, default=1 << 17)
@@ -85,26 +85,31 @@ def main():
     args = ap.parse_args()
 
     t_start = time.time()
+    if os.path.exists(args.out + ".progress"):
+        os.remove(args.out + ".progress")
     rng = np.random.default_rng(42)
     print("generating GT fixture...", flush=True)
-    # Fixture tuned (96^2 CPU probes, scale-invariant in world units) for a
-    # structured, genuinely blurred capture: full frame coverage, mean LDR
-    # ~0.7, ~5% saturated highlights (HDR/CRF content), and blurry-input-
-    # vs-sharp-GT PSNR ~28 dB — so the deblurring gain has headroom.  The
-    # first cut of this fixture (hdr_max 2.5 @ 20k gaussians) saturated to
-    # a near-white scene where blur was invisible (input PSNR 36).
+    # Fixture tuned with AT-SPEC 800^2 probes (scripts/probe_fixture.py —
+    # world-unit scales are NOT resolution-invariant: tile footprint grows
+    # with focal^2): splat radii median ~7 px / p99 ~17 px so the binning
+    # demand sits at ~0.5x the training stream budget at 131k capacity,
+    # mean LDR ~0.58 with ~2% saturated highlights (HDR/CRF content), and
+    # blurry-input-vs-sharp-GT PSNR ~21 dB (max within-exposure motion
+    # ~26 px) — genuinely heavy casual blur with deblurring headroom.  The
+    # first cut (scale .01-.04 @ span 2.0) overflowed every static budget
+    # at 800^2 and the bottom of every training render went empty.
     video = synthetic.make_casual_video(
         rng,
         n_gaussians=args.gt_gaussians,
         n_frames=args.frames,
         n_virtual=16,
         size=args.size,
-        angle_span=2.0,
+        angle_span=0.8,
         exposure_range=(0.25, 1.0),
         crf_gamma=2.2,
-        hdr_max=1.8,
+        hdr_max=3.0,
         extent=2.2,
-        scale_range=(0.01, 0.04),
+        scale_range=(0.004, 0.016),
         renderer="fast",
     )
     n = video.images.shape[0]
@@ -164,7 +169,8 @@ def main():
         if t.step % 1000 == 0 or t.step == cfg.optim.max_steps:
             m = t.evaluate(indices=eval_idx)
             alive = int(jnp.sum(t.params["gaussians"]["alive"]))
-            entry = {"step": t.step, "loss": out["loss"], "alive": alive, **m}
+            entry = {"step": t.step, "loss": out["loss"], "alive": alive,
+                     "dropped": out["dropped"], **m}
             curve.append(entry)
             print(json.dumps(entry), flush=True)
             with open(args.out + ".progress", "a") as f:
