@@ -46,12 +46,43 @@ from casualhdrsplat_tpu.train.trainer import Trainer  # noqa: E402
 
 
 def pose_errors(knots_a, knots_b):
-    """Per-knot (rotation deg, translation) error between [M,4,4] stacks."""
-    rel = np.einsum("nij,njk->nik", np.linalg.inv(np.asarray(knots_a)),
-                    np.asarray(knots_b))
-    cos = np.clip((np.trace(rel[:, :3, :3], axis1=1, axis2=2) - 1) / 2, -1, 1)
+    """Gauge-aligned per-knot (rotation deg, translation) error between
+    [M,4,4] world-from-camera stacks.
+
+    The joint problem (free Gaussian means + free camera knots) has a
+    global sim(3) gauge: transforming scene AND cameras together leaves
+    every rendered pixel unchanged, so raw world-frame knot differences
+    measure gauge drift, not pose quality.  Align with a single Umeyama
+    similarity on camera centers + the average relative rotation (the
+    standard ATE protocol), then report residual errors."""
+    a = np.asarray(knots_a, np.float64)
+    b = np.asarray(knots_b, np.float64)
+    # world-from-camera: center = -R^T t for viewmats; here knots store
+    # camera-from-world? Use the translation column of the inverse either
+    # way — centers are what Umeyama needs.
+    ca = np.linalg.inv(a)[:, :3, 3]
+    cb = np.linalg.inv(b)[:, :3, 3]
+    mu_a, mu_b = ca.mean(0), cb.mean(0)
+    xa, xb = ca - mu_a, cb - mu_b
+    cov = xa.T @ xb / len(ca)
+    U, S, Vt = np.linalg.svd(cov)
+    d = np.sign(np.linalg.det(U @ Vt))
+    D = np.diag([1.0, 1.0, d])
+    R_align = U @ D @ Vt  # maps b-centers into a's frame
+    var_b = (xb ** 2).sum() / len(ca)
+    s = float(np.trace(np.diag(S) @ D) / max(var_b, 1e-12))
+    cb_al = s * cb @ R_align.T + (mu_a - s * mu_b @ R_align.T)
+    trans = np.linalg.norm(ca - cb_al, axis=-1)
+    # rotation: relative-pose error over consecutive knots — a global
+    # gauge rotation cancels (or conjugates, which preserves the angle),
+    # so this is gauge-invariant in either viewmat convention.
+    Ra = a[:, :3, :3]
+    Rb = b[:, :3, :3]
+    rel_a = np.einsum("nij,nkj->nik", Ra[:-1], Ra[1:])
+    rel_b = np.einsum("nij,nkj->nik", Rb[:-1], Rb[1:])
+    res = np.einsum("nij,nkj->nik", rel_a, rel_b)
+    cos = np.clip((np.trace(res, axis1=1, axis2=2) - 1) / 2, -1, 1)
     rot_deg = np.degrees(np.arccos(cos))
-    trans = np.linalg.norm(rel[:, :3, 3], axis=-1)
     return rot_deg, trans
 
 
@@ -77,7 +108,7 @@ def main():
     ap.add_argument("--size", type=int, default=800)
     ap.add_argument("--gt-gaussians", type=int, default=30_000)
     ap.add_argument("--frames", type=int, default=12)
-    ap.add_argument("--steps", type=int, default=10_000)
+    ap.add_argument("--steps", type=int, default=4_000)
     ap.add_argument("--capacity", type=int, default=1 << 17)
     ap.add_argument("--virtual-views", type=int, default=8)
     ap.add_argument("--out", default="QUALITY_r02.json")
@@ -134,15 +165,27 @@ def main():
     cfg.model.sh_degree = 3
     cfg.model.num_virtual_views = args.virtual_views
     cfg.model.crf.kind = "mlp"
+    # stream_factor=9: run 4 measured demand ~7.5M rows vs the default
+    # 6-factor budget of 6.29M — 1.2M contributions were dropped EVERY
+    # step and the fit plateaued at 14.8 dB.  9x = 9.4M rows of headroom.
+    # chunk=256 keeps the SMEM chunk-metadata count (budget/chunk + tiles)
+    # BELOW the known-good 69k: 3 prefetch words x 94k chunks at chunk=128
+    # would re-overflow the 1 MB SMEM budget (the run-2 OOM).
     cfg.model.rasterize = config.RasterizeConfig(
         tile_h=16, tile_w=16, tile_capacity=1024, max_tiles_per_gaussian=32,
-        chunk=128, backend="auto",
+        chunk=256, backend="auto", stream_factor=9,
     )
     cfg.densify.enabled = True
     cfg.densify.start_iter = 500
     cfg.densify.interval = 100
-    cfg.densify.stop_iter = int(args.steps * 0.7)
-    cfg.densify.opacity_reset_interval = 3000
+    cfg.densify.stop_iter = int(args.steps * 0.6)
+    # raw-threshold doubled: the advisor's pixel-scale fix made the stock
+    # 2e-4 threshold saturate the 131k capacity by step 2000, which both
+    # exhausts densification headroom and inflates binning demand.
+    cfg.densify.grad_threshold = 4e-4
+    # No opacity resets inside a short run: each reset costs ~1000 steps
+    # of recovery (the step-3000/6000 PSNR craters in runs 2/4).
+    cfg.densify.opacity_reset_interval = 10 * args.steps
     cfg.optim.max_steps = args.steps
     cfg.data.eval_every = 0  # per-frame exposures: train on every frame
     cfg.log_every = 100
