@@ -207,6 +207,63 @@ def main():
     eval_idx = list(range(0, n, max(1, n // 6)))
     curve = []
     t_train = time.time()
+    stop_file = os.path.join("outputs", "quality.stop")
+
+    def write_report():
+        """Full report from the curve so far — called after EVERY eval so
+        an interrupted run (or a wedged TPU) still leaves the artifact.
+        NEVER kill this process mid-step (it wedges the axon terminal for
+        everyone): `touch outputs/quality.stop` instead."""
+        got = np.asarray(t.params["log_exposures"])
+        gt = np.log(np.asarray(video.exposures))
+        got_c, gt_c = got - got.mean(), gt - gt.mean()
+        exposure_rec = {
+            "max_abs_log_ratio_err": float(np.abs(got_c - gt_c).max()),
+            "mean_abs_log_ratio_err": float(np.abs(got_c - gt_c).mean()),
+        }
+        crf_rec = crf_recovery_rmse(t.params["crf"], cfg.model.crf, gamma=2.2)
+        rot1, trans1 = pose_errors(
+            video.knots, imf.effective_knots(t.params, t.scene)
+        )
+        pose_rec = {
+            "init_rot_deg_mean": float(rot0.mean()),
+            "final_rot_deg_mean": float(rot1.mean()),
+            "init_trans_mean": float(trans0.mean()),
+            "final_trans_mean": float(trans1.mean()),
+        }
+        final = curve[-1]
+        report = {
+            "round": 2,
+            "scale": {
+                "image": [args.size, args.size],
+                "frames": n,
+                "gt_gaussians": args.gt_gaussians,
+                "capacity": args.capacity,
+                "final_alive": final["alive"],
+                "steps": args.steps,
+                "steps_done": int(t.step),
+                "virtual_views": args.virtual_views,
+            },
+            "wall_s": {"gt_gen": round(gt_gen_s, 1),
+                       "train": round(time.time() - t_train, 1)},
+            "final_eval": {k: v for k, v in final.items()
+                           if k.startswith("eval")},
+            "deblurring_gain_db": round(
+                final["eval_sharp_psnr"] - final["eval_sharp_psnr_input"], 3
+            ),
+            "exposure_recovery": exposure_rec,
+            "crf_recovery": crf_rec,
+            "pose_recovery": pose_rec,
+            "psnr_curve": [
+                {k: (round(v, 4) if isinstance(v, float) else v)
+                 for k, v in e.items()} for e in curve
+            ],
+        }
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(report, f, indent=1)
+        os.replace(tmp, args.out)
+
     while t.step < cfg.optim.max_steps:
         out = t.run_step()
         if t.step % 1000 == 0 or t.step == cfg.optim.max_steps:
@@ -218,54 +275,14 @@ def main():
             print(json.dumps(entry), flush=True)
             with open(args.out + ".progress", "a") as f:
                 f.write(json.dumps(entry) + "\n")
-    train_s = time.time() - t_train
+            write_report()
+        if os.path.exists(stop_file):
+            print("stop file seen — finishing early", flush=True)
+            break
 
-    # -- recovery metrics --------------------------------------------------
-    got = np.asarray(t.params["log_exposures"])
-    gt = np.log(np.asarray(video.exposures))
-    got_c, gt_c = got - got.mean(), gt - gt.mean()
-    exposure_rec = {
-        "max_abs_log_ratio_err": float(np.abs(got_c - gt_c).max()),
-        "mean_abs_log_ratio_err": float(np.abs(got_c - gt_c).mean()),
-    }
-    crf_rec = crf_recovery_rmse(t.params["crf"], cfg.model.crf, gamma=2.2)
-    rot1, trans1 = pose_errors(
-        video.knots, imf.effective_knots(t.params, t.scene)
-    )
-    pose_rec = {
-        "init_rot_deg_mean": float(rot0.mean()),
-        "final_rot_deg_mean": float(rot1.mean()),
-        "init_trans_mean": float(trans0.mean()),
-        "final_trans_mean": float(trans1.mean()),
-    }
-
-    final = curve[-1]
-    report = {
-        "round": 2,
-        "scale": {
-            "image": [args.size, args.size],
-            "frames": n,
-            "gt_gaussians": args.gt_gaussians,
-            "capacity": args.capacity,
-            "final_alive": final["alive"],
-            "steps": args.steps,
-            "virtual_views": args.virtual_views,
-        },
-        "wall_s": {"gt_gen": round(gt_gen_s, 1), "train": round(train_s, 1)},
-        "final_eval": {k: v for k, v in final.items() if k.startswith("eval")},
-        "deblurring_gain_db": round(
-            final["eval_sharp_psnr"] - final["eval_sharp_psnr_input"], 3
-        ),
-        "exposure_recovery": exposure_rec,
-        "crf_recovery": crf_rec,
-        "pose_recovery": pose_rec,
-        "psnr_curve": [
-            {k: (round(v, 4) if isinstance(v, float) else v)
-             for k, v in e.items()} for e in curve
-        ],
-    }
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=1)
+    if not curve:  # stopped before the first eval
+        return
+    write_report()
     print("wrote", args.out, flush=True)
 
     os.makedirs(args.render_dir, exist_ok=True)
