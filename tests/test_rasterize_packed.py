@@ -1,6 +1,8 @@
 """Packed streaming compositor (V2) vs dense path and oracle — fwd+bwd
 allclose in interpret mode (SURVEY.md §5.2 sanitizer equivalent)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -146,6 +148,30 @@ def test_shared_binning_matches_per_view(rng):
                           g_s, g_e):
         scale = max(1e-6, float(jnp.max(jnp.abs(b))))
         np.testing.assert_allclose(a, b, atol=2e-3 * scale, rtol=2e-2,
+                                   err_msg=name)
+
+
+def test_packed_chunk256_quality_regime(rng):
+    """chunk=256 + stream_factor=9 — the at-spec quality-run kernel shape
+    (chosen so SMEM chunk metadata stays under the 1 MB budget at a 9x
+    stream budget; scripts/quality_run.py) — fwd+bwd allclose vs dense.
+    400 gaussians on one 16x16 tile forces multi-chunk segments, so the
+    cross-chunk transmittance carry is exercised at the new width."""
+    cloud = synthetic.random_cloud(rng, 400)
+    cam = synthetic.orbit_camera(0.0, width=16, img_height=16)
+    target = jnp.asarray(rng.uniform(size=(16, 16, 3)), jnp.float32)
+    cfg_x, cfg_p = cfgs(tile_h=16, tile_w=16, chunk=256, stream_factor=9)
+    # the dense reference must hold all 400 one-tile entries (the packed
+    # path never truncates; cfgs() defaults cap the dense table at 256)
+    cfg_x = dataclasses.replace(cfg_x, tile_capacity=512)
+    img_x, al_x, g_x = run(cloud, cam, cfg_x, target)
+    img_p, al_p, g_p = run(cloud, cam, cfg_p, target)
+    np.testing.assert_allclose(img_p, img_x, atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(al_p, al_x, atol=5e-4)
+    for name, a, b in zip(("means3d", "quats", "scales", "opacities",
+                           "colors"), g_p, g_x):
+        scale = max(1e-6, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(a, b, atol=1e-4 * scale, rtol=1e-3,
                                    err_msg=name)
 
 
