@@ -139,11 +139,30 @@ def build_sharded(n_gaussians=100_000, size=800, n_virtual=4, data=1, gauss=1):
 
 
 def main():
+    import os
     import sys
+    import threading
 
     import jax
 
     from casualhdrsplat_tpu.utils import runtime
+
+    # Watchdog: a wedged axon terminal (stale session lock after a killed
+    # client) makes device init hang FOREVER pre-devices — fail loudly
+    # instead of stalling whatever invoked the bench.  Normal runs finish
+    # in ~2-4 min (persistent compile cache); 20 min means wedged.
+    def _deadline():
+        sys.stderr.write(
+            "bench.py: 20 min deadline exceeded — TPU backend likely "
+            "wedged (see memory: axon-kill-wedges-terminal); aborting\n"
+        )
+        sys.stderr.flush()
+        os._exit(3)
+
+    if os.environ.get("CHS_BENCH_NO_WATCHDOG") is None:
+        _wd = threading.Timer(1200.0, _deadline)
+        _wd.daemon = True  # never outlive a normal run
+        _wd.start()
 
     runtime.setup()
     if "--sharded" in sys.argv:
