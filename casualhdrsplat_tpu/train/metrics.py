@@ -40,6 +40,46 @@ class MetricsLogger:
         self._f.close()
 
 
+def pose_recovery_errors(knots_gt, knots_est):
+    """Gauge-aligned per-knot (rotation deg, translation) errors between
+    two [M,4,4] camera-matrix stacks.
+
+    The joint CasualHDRSplat problem (free Gaussian means + free camera
+    knots, reference Readme.md:44 joint optimization) has a global sim(3)
+    gauge: transforming scene AND cameras together leaves every rendered
+    pixel unchanged, so raw world-frame knot differences measure gauge
+    drift, not pose quality.  Translation: Umeyama similarity alignment
+    on camera centers, then residual center distances (the standard ATE
+    protocol).  Rotation: relative-pose error over consecutive knots —
+    a global gauge rotation cancels (or conjugates, preserving the
+    angle), so it is gauge-invariant in either viewmat convention.
+    Returns (rot_deg [M-1], trans [M])."""
+    import numpy as np
+
+    a = np.asarray(knots_gt, np.float64)
+    b = np.asarray(knots_est, np.float64)
+    ca = np.linalg.inv(a)[:, :3, 3]
+    cb = np.linalg.inv(b)[:, :3, 3]
+    mu_a, mu_b = ca.mean(0), cb.mean(0)
+    xa, xb = ca - mu_a, cb - mu_b
+    cov = xa.T @ xb / len(ca)
+    U, S, Vt = np.linalg.svd(cov)
+    d = np.sign(np.linalg.det(U @ Vt))
+    D = np.diag([1.0, 1.0, d])
+    R_align = U @ D @ Vt  # maps est-centers into the GT frame
+    var_b = (xb ** 2).sum() / len(ca)
+    s = float(np.trace(np.diag(S) @ D) / max(var_b, 1e-12))
+    cb_al = s * cb @ R_align.T + (mu_a - s * mu_b @ R_align.T)
+    trans = np.linalg.norm(ca - cb_al, axis=-1)
+    Ra, Rb = a[:, :3, :3], b[:, :3, :3]
+    rel_a = np.einsum("nij,nkj->nik", Ra[:-1], Ra[1:])
+    rel_b = np.einsum("nij,nkj->nik", Rb[:-1], Rb[1:])
+    res = np.einsum("nij,nkj->nik", rel_a, rel_b)
+    cos = np.clip((np.trace(res, axis1=1, axis2=2) - 1) / 2, -1, 1)
+    rot_deg = np.degrees(np.arccos(cos))
+    return rot_deg, trans
+
+
 def save_hdr(path: str, img) -> None:
     """Write an [H,W,3] linear float image as Radiance .hdr (RGBE) — the
     HDR-ecosystem interop format for the C20 'render HDR images' output

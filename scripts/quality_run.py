@@ -45,45 +45,7 @@ from casualhdrsplat_tpu.train import metrics as metrics_mod  # noqa: E402
 from casualhdrsplat_tpu.train.trainer import Trainer  # noqa: E402
 
 
-def pose_errors(knots_a, knots_b):
-    """Gauge-aligned per-knot (rotation deg, translation) error between
-    [M,4,4] world-from-camera stacks.
-
-    The joint problem (free Gaussian means + free camera knots) has a
-    global sim(3) gauge: transforming scene AND cameras together leaves
-    every rendered pixel unchanged, so raw world-frame knot differences
-    measure gauge drift, not pose quality.  Align with a single Umeyama
-    similarity on camera centers + the average relative rotation (the
-    standard ATE protocol), then report residual errors."""
-    a = np.asarray(knots_a, np.float64)
-    b = np.asarray(knots_b, np.float64)
-    # world-from-camera: center = -R^T t for viewmats; here knots store
-    # camera-from-world? Use the translation column of the inverse either
-    # way — centers are what Umeyama needs.
-    ca = np.linalg.inv(a)[:, :3, 3]
-    cb = np.linalg.inv(b)[:, :3, 3]
-    mu_a, mu_b = ca.mean(0), cb.mean(0)
-    xa, xb = ca - mu_a, cb - mu_b
-    cov = xa.T @ xb / len(ca)
-    U, S, Vt = np.linalg.svd(cov)
-    d = np.sign(np.linalg.det(U @ Vt))
-    D = np.diag([1.0, 1.0, d])
-    R_align = U @ D @ Vt  # maps b-centers into a's frame
-    var_b = (xb ** 2).sum() / len(ca)
-    s = float(np.trace(np.diag(S) @ D) / max(var_b, 1e-12))
-    cb_al = s * cb @ R_align.T + (mu_a - s * mu_b @ R_align.T)
-    trans = np.linalg.norm(ca - cb_al, axis=-1)
-    # rotation: relative-pose error over consecutive knots — a global
-    # gauge rotation cancels (or conjugates, which preserves the angle),
-    # so this is gauge-invariant in either viewmat convention.
-    Ra = a[:, :3, :3]
-    Rb = b[:, :3, :3]
-    rel_a = np.einsum("nij,nkj->nik", Ra[:-1], Ra[1:])
-    rel_b = np.einsum("nij,nkj->nik", Rb[:-1], Rb[1:])
-    res = np.einsum("nij,nkj->nik", rel_a, rel_b)
-    cos = np.clip((np.trace(res, axis1=1, axis2=2) - 1) / 2, -1, 1)
-    rot_deg = np.degrees(np.arccos(cos))
-    return rot_deg, trans
+pose_errors = metrics_mod.pose_recovery_errors
 
 
 def crf_recovery_rmse(params, crf_cfg, gamma: float):
