@@ -14,9 +14,23 @@ import numpy as np
 
 
 def _build_cfg(args):
+    import json
+
     from casualhdrsplat_tpu import config
 
-    cfg = config.PRESETS[args.preset]()
+    cfg = None
+    ck = getattr(args, "checkpoint", None)
+    if ck and args.preset == "default":
+        # The checkpoint's param/optimizer tree structure depends on the
+        # training config (CRF kind, capacity, ...): restore with the
+        # config.json the Trainer saved beside it, not the default preset.
+        cfg_path = os.path.join(os.path.dirname(os.path.abspath(ck)),
+                                "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = config.from_dict(json.load(f))
+    if cfg is None:
+        cfg = config.PRESETS[args.preset]()
     config.with_overrides(cfg, args.overrides)
     return cfg
 

@@ -153,6 +153,38 @@ class TrainConfig:
     out_dir: str = "outputs"
 
 
+def to_dict(cfg: TrainConfig) -> dict:
+    """Plain-JSON form of the config tree (persisted next to checkpoints
+    so render/eval/export reconstruct the exact training configuration)."""
+    import dataclasses
+
+    return dataclasses.asdict(cfg)
+
+
+def from_dict(d: dict) -> TrainConfig:
+    """Inverse of to_dict.  Unknown keys error (they signal a config from
+    a different version); missing keys keep their current defaults."""
+    import dataclasses
+
+    def build(cls, sub):
+        types = {f.name: f for f in dataclasses.fields(cls)}
+        unknown = set(sub) - set(types)
+        if unknown:
+            raise ValueError(f"{cls.__name__}: unknown config keys {sorted(unknown)}")
+        kw = {}
+        for k, v in sub.items():
+            default = types[k].default_factory() if (
+                types[k].default_factory is not dataclasses.MISSING
+            ) else types[k].default
+            if dataclasses.is_dataclass(default):
+                kw[k] = build(type(default), v)
+            else:
+                kw[k] = v
+        return cls(**kw)
+
+    return build(TrainConfig, d)
+
+
 def _apply_override(cfg, dotted: str, value: str):
     obj = cfg
     parts = dotted.split(".")

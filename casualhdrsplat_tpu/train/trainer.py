@@ -357,7 +357,8 @@ class Trainer:
         return metrics
 
     def save(self, out_dir: str) -> str:
-        path = os.path.join(os.path.abspath(out_dir), f"step_{self.step}")
+        out_abs = os.path.abspath(out_dir)
+        path = os.path.join(out_abs, f"step_{self.step}")
         ckpt_mod.save(
             path,
             {
@@ -367,6 +368,18 @@ class Trainer:
                 "step": self.step,
             },
         )
+        # Persist the resolved config beside the checkpoints: the param /
+        # optimizer tree structure depends on it (CRF kind, capacity, ...),
+        # so render/eval/export must reconstruct the SAME config or orbax
+        # restore fails on a mismatched template (CLI auto-loads this).
+        cfg_path = os.path.join(out_abs, "config.json")
+        if not os.path.exists(cfg_path):
+            import json
+
+            from casualhdrsplat_tpu import config as config_mod
+
+            with open(cfg_path, "w") as f:
+                json.dump(config_mod.to_dict(self.cfg), f, indent=1)
         return path
 
     def load(self, path: str) -> None:

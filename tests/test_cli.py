@@ -72,3 +72,15 @@ def test_train_render_export(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert (tmp_path / "g.ply").exists()
+
+    # Regression: render WITHOUT repeating the preset/overrides — the CLI
+    # must reconstruct the training config from the config.json the
+    # Trainer saved beside the checkpoints (a default-preset template
+    # mismatches the ladder1 checkpoint tree and orbax restore fails).
+    r = run_cli(
+        ["render", "--checkpoint", step_dir, "--mode", "blurred",
+         "--frames", "0", "--out", f"{tmp_path}/renders2"],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (tmp_path / "renders2" / "blur_0000.png").exists()
