@@ -14,22 +14,16 @@ def l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(a - b))
 
 
-@functools.partial(jax.jit, static_argnames=("window", "sigma", "clamp"))
-def ssim(
+def _ssim_cs(
     a: jnp.ndarray,
     b: jnp.ndarray,
     window: int = 11,
     sigma: float = 1.5,
     clamp: bool = True,
 ):
-    """Mean SSIM over an [H,W,3] pair (Gaussian 11x11 window, the standard
-    constants of the 3DGS lineage). Differentiable.
-
-    clamp=True (reported metrics) bounds the f32 moment cancellation that
-    otherwise yields SSIM > 1 on near-flat bright windows.  The TRAINING
-    loss uses clamp=False: that is the lineage's exact formulation (3DGS/
-    fused-ssim don't clamp either), the tiny overshoot is harmless in a
-    gradient, and the clamps cost several full-image ops in fwd+bwd."""
+    """Shared SSIM internals: mean SSIM and mean contrast-structure (cs)
+    over an [H,W,3] pair.  cs is the luminance-free factor MS-SSIM needs
+    at its coarse scales."""
     c1, c2 = 0.01**2, 0.03**2
     half = window // 2
     x = jnp.arange(window, dtype=jnp.float32) - half
@@ -68,10 +62,73 @@ def ssim(
             jnp.sqrt(jnp.maximum(var_a * var_b, 1e-24))
         )
         cov = jnp.clip(cov, -lim, lim)
-    s = ((2 * mu_ab + c1) * (2 * cov + c2)) / (
-        (mu_aa + mu_bb + c1) * (var_a + var_b + c2)
-    )
-    return jnp.mean(s)
+    cs = (2 * cov + c2) / (var_a + var_b + c2)
+    lum = (2 * mu_ab + c1) / (mu_aa + mu_bb + c1)
+    return jnp.mean(lum * cs), jnp.mean(cs)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "sigma", "clamp"))
+def ssim(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    window: int = 11,
+    sigma: float = 1.5,
+    clamp: bool = True,
+):
+    """Mean SSIM over an [H,W,3] pair (Gaussian 11x11 window, the standard
+    constants of the 3DGS lineage). Differentiable.
+
+    clamp=True (reported metrics) bounds the f32 moment cancellation that
+    otherwise yields SSIM > 1 on near-flat bright windows.  The TRAINING
+    loss uses clamp=False: that is the lineage's exact formulation (3DGS/
+    fused-ssim don't clamp either), the tiny overshoot is harmless in a
+    gradient, and the clamps cost several full-image ops in fwd+bwd."""
+    return _ssim_cs(a, b, window, sigma, clamp)[0]
+
+
+# Wang et al. 2003 per-scale weights, the convention every MS-SSIM
+# implementation shares (interop constant, not copied code).
+MS_SSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+@functools.partial(jax.jit, static_argnames=("scales",))
+def ms_ssim(a: jnp.ndarray, b: jnp.ndarray, scales: int = 5):
+    """Multi-scale SSIM over an [H,W,3] pair — the standard 5-scale
+    Wang-2003 formulation: contrast-structure at every scale, luminance
+    only at the coarsest, combined as a weighted geometric mean.
+
+    Serves as the perceptual metric in this image: LPIPS needs pretrained
+    CNN weights that no package here ships (models/perceptual.py stays
+    gated), while MS-SSIM is self-contained, deterministic, and
+    differentiable.  Scales that the image is too small to support
+    (min side < 11 px after halving) are dropped and the weights are
+    renormalized — shapes are static under jit, so this is trace-time
+    Python, not data-dependent control flow."""
+    feasible = 1
+    side = min(a.shape[0], a.shape[1])
+    while feasible < scales and (side // 2) >= 11:
+        side //= 2
+        feasible += 1
+    scales = min(scales, feasible)
+    weights = jnp.asarray(MS_SSIM_WEIGHTS[:scales])
+    weights = weights / weights.sum()
+
+    def half(img):
+        # 2x2 average pool, VALID — the lineage's downsampling
+        return jax.lax.reduce_window(
+            img, 0.0, jax.lax.add, (2, 2, 1), (2, 2, 1), "VALID"
+        ) * 0.25
+
+    vals = []
+    for s in range(scales):
+        full, cs = _ssim_cs(a, b, clamp=True)
+        vals.append(full if s == scales - 1 else cs)
+        if s != scales - 1:
+            a, b = half(a), half(b)
+    # cs can be slightly negative on adversarial pairs; clamp before the
+    # fractional power (same guard as the reference implementations).
+    vals = jnp.maximum(jnp.stack(vals), 1e-6)
+    return jnp.exp(jnp.sum(weights * jnp.log(vals)))
 
 
 def d_ssim(a, b):

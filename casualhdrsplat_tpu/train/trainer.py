@@ -313,7 +313,7 @@ class Trainer:
     def evaluate(self, indices=None) -> Dict[str, float]:
         """Score the model on held-out frames.
 
-        Always: PSNR/SSIM (and LPIPS when available) of the synthesized
+        Always: PSNR/SSIM/MS-SSIM (and LPIPS when available) of the synthesized
         blurred frame B_i vs the captured frame.  When the dataset carries
         ground-truth sharp frames (synthetic fixtures), additionally scores
         the DEBLURRED mid-exposure render vs sharp GT (`eval_sharp_psnr`,
@@ -326,8 +326,8 @@ class Trainer:
         deg = self.active_sh_degree()
         from casualhdrsplat_tpu.models import perceptual
 
-        psnrs, ssims, lpips_vals = [], [], []
-        sharp_psnrs, sharp_in_psnrs, sharp_ssims = [], [], []
+        psnrs, ssims, msssims, lpips_vals = [], [], [], []
+        sharp_psnrs, sharp_in_psnrs, sharp_ssims, sharp_msssims = [], [], [], []
         sharp_gt = self.dataset.sharp_images
         for i in idx:
             fid = jnp.asarray(int(i))
@@ -335,6 +335,7 @@ class Trainer:
             target = self.images[int(i)]
             psnrs.append(float(losses.psnr(out.blurred_ldr, target)))
             ssims.append(float(losses.ssim(out.blurred_ldr, target)))
+            msssims.append(float(losses.ms_ssim(out.blurred_ldr, target)))
             lp = perceptual.lpips(np.asarray(out.blurred_ldr), np.asarray(target))
             if lp is not None:
                 lpips_vals.append(lp)
@@ -343,16 +344,19 @@ class Trainer:
                 deb = self._eval_render_deblurred(self.params, fid, deg)
                 sharp_psnrs.append(float(losses.psnr(deb, gt)))
                 sharp_ssims.append(float(losses.ssim(deb, gt)))
+                sharp_msssims.append(float(losses.ms_ssim(deb, gt)))
                 sharp_in_psnrs.append(float(losses.psnr(target, gt)))
         metrics = {
             "eval_psnr": float(np.mean(psnrs)),
             "eval_ssim": float(np.mean(ssims)),
+            "eval_ms_ssim": float(np.mean(msssims)),
         }
         if lpips_vals:
             metrics["eval_lpips"] = float(np.mean(lpips_vals))
         if sharp_psnrs:
             metrics["eval_sharp_psnr"] = float(np.mean(sharp_psnrs))
             metrics["eval_sharp_ssim"] = float(np.mean(sharp_ssims))
+            metrics["eval_sharp_ms_ssim"] = float(np.mean(sharp_msssims))
             metrics["eval_sharp_psnr_input"] = float(np.mean(sharp_in_psnrs))
         return metrics
 

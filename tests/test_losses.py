@@ -71,3 +71,43 @@ def test_ssim_bounded_on_flat_bright_windows():
     b = jnp.asarray(base + 1e-5 * rng.standard_normal(base.shape), jnp.float32)
     assert float(losses.ssim(a, b)) <= 1.0 + 1e-6
     assert abs(float(losses.ssim(a, a)) - 1.0) < 1e-5
+
+
+def test_ms_ssim_identity_and_noise(rng):
+    a = jnp.asarray(rng.uniform(size=(96, 96, 3)), jnp.float32)
+    assert abs(float(losses.ms_ssim(a, a)) - 1.0) < 1e-4
+    n1 = a + 0.05 * jnp.asarray(rng.normal(size=a.shape), jnp.float32)
+    n2 = a + 0.3 * jnp.asarray(rng.normal(size=a.shape), jnp.float32)
+    s1, s2 = float(losses.ms_ssim(a, n1)), float(losses.ms_ssim(a, n2))
+    assert 1.0 > s1 > s2 > 0.0
+
+
+def test_ms_ssim_small_image_drops_scales(rng):
+    """A 24^2 image supports only scale 1 (halving goes below the 11-px
+    window): must not crash, must renormalize to plain SSIM."""
+    a = jnp.asarray(rng.uniform(size=(24, 24, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(size=(24, 24, 3)), jnp.float32)
+    ms = float(losses.ms_ssim(a, b))
+    np.testing.assert_allclose(ms, max(float(losses.ssim(a, b)), 1e-6),
+                               rtol=1e-5)
+
+
+def test_ms_ssim_prefers_blur_over_noise_vs_ssim(rng):
+    """The multi-scale metric is more forgiving of mild blur (structure
+    preserved at coarse scales) relative to equal-SSIM noise — a sanity
+    check that the coarse scales actually participate."""
+    x = np.linspace(0, 4 * np.pi, 96)
+    img = 0.5 + 0.4 * np.sin(x)[:, None] * np.cos(x)[None, :]
+    a = jnp.asarray(np.tile(img[..., None], (1, 1, 3)), jnp.float32)
+    ab = jax.lax.reduce_window(a, 0.0, jax.lax.add, (5, 5, 1), (1, 1, 1),
+                               "SAME") / 25.0  # 5x5 box blur
+    noisy = a + 0.25 * jnp.asarray(rng.normal(size=a.shape), jnp.float32)
+    assert float(losses.ms_ssim(a, ab)) > float(losses.ms_ssim(a, noisy))
+
+
+def test_ms_ssim_grad_finite(rng):
+    a = jnp.asarray(rng.uniform(size=(48, 48, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(size=(48, 48, 3)), jnp.float32)
+    g = jax.grad(lambda x: 1.0 - losses.ms_ssim(x, b))(a)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
