@@ -97,10 +97,34 @@ def cmd_render(args):
         if args.frames
         else list(range(min(3, t.dataset.num_frames)))
     )
+    gif_frames = []
+
+    def _save(path, img):
+        metrics_mod.save_image(path, img)
+        if args.gif:
+            gif_frames.append(
+                (np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
+            )
+
     for i in frames:
         if args.mode == "deblur":
             img, _, _ = imf.render_deblurred(t.params, t.scene, jnp.asarray(i), cfg.model)
-            metrics_mod.save_image(os.path.join(args.out, f"deblur_{i:04d}.png"), img)
+            _save(os.path.join(args.out, f"deblur_{i:04d}.png"), img)
+        elif args.mode == "depth":
+            # expected depth at the mid-exposure pose (SURVEY C20 depth maps)
+            mid = t.scene.timestamps[i] + 0.5 * imf.exposure_of(t.params, i)
+            viewmat = imf.poses_at(t.params, t.scene, jnp.array([mid]), cfg.model)[0]
+            depth, alpha, _ = imf.render_pose(
+                t.params, t.scene, viewmat, cfg.model, depth_output=True
+            )
+            d = np.asarray(depth)
+            np.save(os.path.join(args.out, f"depth_{i:04d}.npy"), d)
+            cover = np.asarray(alpha) > 1e-3
+            lo = float(d[cover].min()) if cover.any() else 0.0
+            hi = float(d[cover].max()) if cover.any() else 1.0
+            vis = np.where(cover, (d - lo) / max(hi - lo, 1e-6), 0.0)
+            _save(os.path.join(args.out, f"depth_{i:04d}.png"),
+                  jnp.asarray(np.tile(vis[..., None], (1, 1, 3))))
         elif args.mode == "hdr":
             img, _, _ = imf.render_deblurred(
                 t.params, t.scene, jnp.asarray(i), cfg.model, hdr_output=True
@@ -116,14 +140,19 @@ def cmd_render(args):
                 img, _, _ = imf.render_pose(
                     t.params, t.scene, viewmat, cfg.model, exposure=jnp.asarray(dt)
                 )
-                metrics_mod.save_image(
-                    os.path.join(args.out, f"sweep_{i:04d}_{j:02d}.png"), img
-                )
+                _save(os.path.join(args.out, f"sweep_{i:04d}_{j:02d}.png"), img)
         else:  # blurred (reproduce the captured frame)
             out = imf.render_frame(t.params, t.scene, jnp.asarray(i), cfg.model)
-            metrics_mod.save_image(
-                os.path.join(args.out, f"blur_{i:04d}.png"), out.blurred_ldr
-            )
+            _save(os.path.join(args.out, f"blur_{i:04d}.png"), out.blurred_ldr)
+    if args.gif and gif_frames:
+        # dependency-free animation: PIL writes the GIF (no ffmpeg in this
+        # image) — the natural preview artifact for a video method.
+        from PIL import Image
+
+        ims = [Image.fromarray(f) for f in gif_frames]
+        ims[0].save(args.gif, save_all=True, append_images=ims[1:],
+                    duration=max(1, int(1000 / args.gif_fps)), loop=0)
+        print(f"wrote {len(ims)}-frame gif to {args.gif}")
     print(f"wrote renders to {args.out}")
 
 
@@ -165,9 +194,13 @@ def main(argv=None):
     sp = sub.add_parser("render")
     common(sp)
     sp.add_argument("--mode", default="deblur",
-                    choices=["deblur", "hdr", "exposure-sweep", "blurred"])
+                    choices=["deblur", "hdr", "exposure-sweep", "blurred",
+                             "depth"])
     sp.add_argument("--out", default="renders")
     sp.add_argument("--frames", default="", help="comma-separated frame ids")
+    sp.add_argument("--gif", default="", help="also assemble the rendered "
+                    "frames into an animated GIF at this path")
+    sp.add_argument("--gif-fps", type=float, default=8.0)
     sp.add_argument("--sweep-min", type=float, default=0.1)
     sp.add_argument("--sweep-max", type=float, default=4.0)
     sp.add_argument("--sweep-n", type=int, default=7)

@@ -84,3 +84,15 @@ def test_train_render_export(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert (tmp_path / "renders2" / "blur_0000.png").exists()
+
+    # depth maps + GIF assembly (C20 downstream apps)
+    r = run_cli(
+        ["render", "--checkpoint", step_dir, "--mode", "depth",
+         "--frames", "0,1", "--out", f"{tmp_path}/renders3",
+         "--gif", f"{tmp_path}/renders3/anim.gif"],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (tmp_path / "renders3" / "depth_0000.png").exists()
+    assert (tmp_path / "renders3" / "depth_0001.npy").exists()
+    assert (tmp_path / "renders3" / "anim.gif").exists()
