@@ -226,6 +226,33 @@ def main():
             json.dump(report, f, indent=1)
         os.replace(tmp, args.out)
 
+    def dump_renders():
+        """Deblur/input/GT triplets + exposure sweep — called after evals
+        (not only at the end) so a wedged TPU still leaves the visual
+        evidence of the latest scored state."""
+        os.makedirs(args.render_dir, exist_ok=True)
+        deg = t.active_sh_degree()
+        for i in eval_idx[:3]:
+            fid = jnp.asarray(int(i))
+            deb = t._eval_render_deblurred(t.params, fid, deg)
+            metrics_mod.save_image(
+                os.path.join(args.render_dir, f"deblur_{i:03d}.png"), deb)
+            metrics_mod.save_image(
+                os.path.join(args.render_dir, f"input_{i:03d}.png"),
+                jnp.asarray(ds.images[int(i)]))
+            metrics_mod.save_image(
+                os.path.join(args.render_dir, f"gt_sharp_{i:03d}.png"),
+                jnp.asarray(ds.sharp_images[int(i)]))
+        # exposure-editing sweep (teaser.png c.1)
+        mid = t.scene.timestamps[2] + 0.5 * imf.exposure_of(t.params, 2)
+        vm = imf.poses_at(t.params, t.scene, jnp.array([mid]), cfg.model)[0]
+        for j, dt_v in enumerate([0.25, 1.0, 4.0]):
+            ldr, _, _ = imf.render_pose(
+                t.params, t.scene, vm, cfg.model, exposure=jnp.asarray(dt_v))
+            metrics_mod.save_image(
+                os.path.join(args.render_dir, f"sweep_{j}.png"), ldr)
+        print("renders under", args.render_dir, flush=True)
+
     while t.step < cfg.optim.max_steps:
         out = t.run_step()
         if t.step % 1000 == 0 or t.step == cfg.optim.max_steps:
@@ -238,6 +265,8 @@ def main():
             with open(args.out + ".progress", "a") as f:
                 f.write(json.dumps(entry) + "\n")
             write_report()
+            if t.step % 2000 == 0:
+                dump_renders()
         if os.path.exists(stop_file):
             print("stop file seen — finishing early", flush=True)
             break
@@ -246,29 +275,7 @@ def main():
         return
     write_report()
     print("wrote", args.out, flush=True)
-
-    os.makedirs(args.render_dir, exist_ok=True)
-    deg = t.active_sh_degree()
-    for i in eval_idx[:3]:
-        fid = jnp.asarray(int(i))
-        deb = t._eval_render_deblurred(t.params, fid, deg)
-        metrics_mod.save_image(
-            os.path.join(args.render_dir, f"deblur_{i:03d}.png"), deb)
-        metrics_mod.save_image(
-            os.path.join(args.render_dir, f"input_{i:03d}.png"),
-            jnp.asarray(ds.images[int(i)]))
-        metrics_mod.save_image(
-            os.path.join(args.render_dir, f"gt_sharp_{i:03d}.png"),
-            jnp.asarray(ds.sharp_images[int(i)]))
-    # exposure-editing sweep (teaser.png c.1)
-    mid = t.scene.timestamps[2] + 0.5 * imf.exposure_of(t.params, 2)
-    vm = imf.poses_at(t.params, t.scene, jnp.array([mid]), cfg.model)[0]
-    for j, dt_v in enumerate([0.25, 1.0, 4.0]):
-        ldr, _, _ = imf.render_pose(
-            t.params, t.scene, vm, cfg.model, exposure=jnp.asarray(dt_v))
-        metrics_mod.save_image(
-            os.path.join(args.render_dir, f"sweep_{j}.png"), ldr)
-    print("renders under", args.render_dir, flush=True)
+    dump_renders()
 
 
 if __name__ == "__main__":
