@@ -159,12 +159,20 @@ def main():
         sys.stderr.flush()
         os._exit(3)
 
+    _wd = None
     if os.environ.get("CHS_BENCH_NO_WATCHDOG") is None:
         _wd = threading.Timer(1200.0, _deadline)
         _wd.daemon = True  # never outlive a normal run
         _wd.start()
 
     runtime.setup()
+    jax.devices()  # the wedge hangs HERE (pre-device-init)
+    if _wd is not None:
+        # Disarm once the backend answered: past this point a slow run is
+        # legitimate (cold compile cache can exceed 20 min), and an
+        # os._exit mid-step is exactly the uncooperative kill that wedges
+        # the axon terminal for every other client.
+        _wd.cancel()
     if "--sharded" in sys.argv:
         i = sys.argv.index("--sharded")
         dg = sys.argv[i + 1].split(",") if len(sys.argv) > i + 1 else ["1", "1"]

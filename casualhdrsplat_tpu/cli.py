@@ -150,8 +150,9 @@ def cmd_render(args):
         from PIL import Image
 
         ims = [Image.fromarray(f) for f in gif_frames]
+        fps = max(args.gif_fps, 0.1)  # guard --gif-fps 0 / negatives
         ims[0].save(args.gif, save_all=True, append_images=ims[1:],
-                    duration=max(1, int(1000 / args.gif_fps)), loop=0)
+                    duration=max(1, int(1000 / fps)), loop=0)
         print(f"wrote {len(ims)}-frame gif to {args.gif}")
     print(f"wrote renders to {args.out}")
 

@@ -293,6 +293,7 @@ def compact_stream_ids(
     starts_c: jnp.ndarray,  # [T+1] compacted starts (waterfill_segments)
     budget: int,
     pad_id: int,
+    unconditional: bool = False,
 ) -> jnp.ndarray:
     """Gaussian ids of the budget-compacted stream: slot j holds entry
     starts[t] + (j - starts_c[t]) of the sorted stream, t = tile owning
@@ -304,8 +305,10 @@ def compact_stream_ids(
     `lax.cond` on the overflow flag: when nothing overflowed the stream is
     the identity prefix of `s_gauss` (a free slice) — overflow is the
     exception, and the big re-gather prices only the exceptional step.
-    (Under vmap the cond degrades to both-branches; the vmapped per-view
-    path accepts that — shared binning, the default, is un-vmapped.)"""
+    VMAPPED callers must pass `unconditional=True`: under vmap the cond
+    degrades to executing BOTH branches plus a select, and `compacted` is
+    already exact in the no-overflow case (zero shifts -> identity), so
+    running it alone is strictly cheaper there."""
     t = starts_c.shape[0] - 1
     j = jnp.arange(budget, dtype=jnp.int32)
     total = s_gauss.shape[0]
@@ -328,6 +331,8 @@ def compact_stream_ids(
             j < starts_c[t], s_gauss[:budget], pad_id
         ).astype(jnp.int32)
 
+    if unconditional:
+        return compacted()
     return jax.lax.cond(starts_c[t] < starts[t], compacted, prefix)
 
 

@@ -172,8 +172,9 @@ def _rasterize_packed(
         )
         payload = binning.build_payload(proj, view_colors, opacities)
         # the ONE row gather: payload rows in compacted stream order
+        # (unconditional: this per-view fn runs under vmap — see docstring)
         stream_ids = binning.compact_stream_ids(
-            s_gauss, starts, starts_c, s_budget, n
+            s_gauss, starts, starts_c, s_budget, n, unconditional=True
         )
         stream = payload[stream_ids]  # [s_budget, 16]
         # offset per-view metadata into the concatenated global stream

@@ -93,7 +93,7 @@ def _packed_local_tiles(
         seg_c, starts_c = binning.waterfill_segments(seg_len, s_budget)
         dropped = jnp.sum(seg_len) - jnp.sum(seg_c)
         stream_ids = binning.compact_stream_ids(
-            s_gauss, starts, starts_c, s_budget, n_full
+            s_gauss, starts, starts_c, s_budget, n_full, unconditional=True
         )
         return starts_c, stream_ids, dropped
 

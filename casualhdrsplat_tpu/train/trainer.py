@@ -376,14 +376,18 @@ class Trainer:
         # optimizer tree structure depends on it (CRF kind, capacity, ...),
         # so render/eval/export must reconstruct the SAME config or orbax
         # restore fails on a mismatched template (CLI auto-loads this).
+        # Written on EVERY save, atomically: an exists-guard would keep a
+        # stale (or truncated, after a crash mid-write) config.json from a
+        # previous run into the same out_dir.
         cfg_path = os.path.join(out_abs, "config.json")
-        if not os.path.exists(cfg_path):
-            import json
+        import json
 
-            from casualhdrsplat_tpu import config as config_mod
+        from casualhdrsplat_tpu import config as config_mod
 
-            with open(cfg_path, "w") as f:
-                json.dump(config_mod.to_dict(self.cfg), f, indent=1)
+        tmp = cfg_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(config_mod.to_dict(self.cfg), f, indent=1)
+        os.replace(tmp, cfg_path)
         return path
 
     def load(self, path: str) -> None:

@@ -11,6 +11,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from casualhdrsplat_tpu.models import losses  # noqa: E402
 from casualhdrsplat_tpu.utils import runtime  # noqa: E402
 
 runtime.setup()
@@ -24,8 +25,7 @@ from casualhdrsplat_tpu.ops.projection import project_gaussians  # noqa: E402
 
 
 def psnr(a, b):
-    mse = float(jnp.mean((jnp.asarray(a) - jnp.asarray(b)) ** 2))
-    return -10.0 * np.log10(max(mse, 1e-12))
+    return float(losses.psnr(jnp.asarray(a), jnp.asarray(b)))
 
 
 def probe(name, **kw):

@@ -12,6 +12,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from casualhdrsplat_tpu.models import losses  # noqa: E402
 from casualhdrsplat_tpu.utils import runtime  # noqa: E402
 
 runtime.setup()
@@ -28,8 +29,7 @@ from casualhdrsplat_tpu.train.trainer import Trainer  # noqa: E402
 
 
 def psnr(a, b):
-    mse = float(jnp.mean((a - b) ** 2))
-    return -10.0 * np.log10(max(mse, 1e-12))
+    return float(losses.psnr(jnp.asarray(a), jnp.asarray(b)))
 
 
 def main():

@@ -168,6 +168,7 @@ def main():
 
     eval_idx = list(range(0, n, max(1, n // 6)))
     curve = []
+    renders_at = -1
     t_train = time.time()
     stop_file = os.path.join("outputs", "quality.stop")
 
@@ -267,6 +268,7 @@ def main():
             write_report()
             if t.step % 2000 == 0:
                 dump_renders()
+                renders_at = t.step
         if os.path.exists(stop_file):
             print("stop file seen — finishing early", flush=True)
             break
@@ -275,7 +277,8 @@ def main():
         return
     write_report()
     print("wrote", args.out, flush=True)
-    dump_renders()
+    if renders_at != t.step:  # skip re-rendering identical final output
+        dump_renders()
 
 
 if __name__ == "__main__":

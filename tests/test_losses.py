@@ -83,13 +83,19 @@ def test_ms_ssim_identity_and_noise(rng):
 
 
 def test_ms_ssim_small_image_drops_scales(rng):
-    """A 24^2 image supports only scale 1 (halving goes below the 11-px
-    window): must not crash, must renormalize to plain SSIM."""
-    a = jnp.asarray(rng.uniform(size=(24, 24, 3)), jnp.float32)
-    b = jnp.asarray(rng.uniform(size=(24, 24, 3)), jnp.float32)
-    ms = float(losses.ms_ssim(a, b))
-    np.testing.assert_allclose(ms, max(float(losses.ssim(a, b)), 1e-6),
-                               rtol=1e-5)
+    """A 16^2 image supports only scale 1 (16//2=8 < the 11-px window):
+    must not crash, must renormalize to plain SSIM.  Uses a CORRELATED
+    pair so the comparison is away from the 1e-6 clamp floor (an
+    uncorrelated pair passes vacuously — both sides clamp)."""
+    a = jnp.asarray(rng.uniform(size=(16, 16, 3)), jnp.float32)
+    b = a + 0.05 * jnp.asarray(rng.normal(size=a.shape), jnp.float32)
+    ms, s = float(losses.ms_ssim(a, b)), float(losses.ssim(a, b))
+    assert 0.5 < ms < 1.0
+    np.testing.assert_allclose(ms, s, rtol=1e-5)
+    # and at 24^2 TWO scales fit, so MS-SSIM must differ from plain SSIM
+    a2 = jnp.asarray(rng.uniform(size=(24, 24, 3)), jnp.float32)
+    b2 = a2 + 0.05 * jnp.asarray(rng.normal(size=a2.shape), jnp.float32)
+    assert abs(float(losses.ms_ssim(a2, b2)) - float(losses.ssim(a2, b2))) > 1e-4
 
 
 def test_ms_ssim_prefers_blur_over_noise_vs_ssim(rng):
