@@ -97,7 +97,14 @@ def _load_image(path: str, downscale: int = 1, background: float = 0.0) -> np.nd
     else:
         img = img[..., :3]
     if downscale > 1:
-        img = img[::downscale, ::downscale]
+        # area-average (box filter), not naive subsampling — strided
+        # slicing aliases high-frequency content; the SfM lineage resizes
+        # with averaging.  Trailing rows/cols that don't fill a full
+        # downscale block are cropped (matches the // intrinsics scaling).
+        h, w = img.shape[:2]
+        hd, wd = h // downscale, w // downscale
+        img = img[: hd * downscale, : wd * downscale]
+        img = img.reshape(hd, downscale, wd, downscale, 3).mean(axis=(1, 3))
     return img
 
 

@@ -129,3 +129,20 @@ def test_synthetic_dataset_split():
     assert ds.scene_extent() > 0
     cam = ds.camera(1)
     assert cam.width == 16 and cam.height == 16
+
+
+def test_load_image_downscale_area_averages(tmp_path):
+    """downscale must box-filter (average), not stride-subsample: a 0/255
+    checker at downscale=2 averages to 0.5; subsampling would return
+    pure 0s or 255s.  Odd trailing rows/cols are cropped."""
+    from PIL import Image
+
+    img = np.zeros((5, 6, 3), np.uint8)
+    img[::2, ::2] = 255
+    img[1::2, 1::2] = 255
+    path = str(tmp_path / "checker.png")
+    Image.fromarray(img, "RGB").save(path)
+
+    out = dataset._load_image(path, downscale=2)
+    assert out.shape == (2, 3, 3)  # 5//2 x 6//2
+    np.testing.assert_allclose(out, 0.5, atol=1e-6)
