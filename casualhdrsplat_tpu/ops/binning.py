@@ -84,7 +84,8 @@ def sorted_stream(
     """(tile, depth)-ordered intersection stream.
 
     Returns (s_gauss [N*mtpg] int32 Gaussian ids grouped by tile in depth
-    order — invalid/sentinel pairs at the tail, starts [T+1], seg_len [T]).
+    order — invalid/sentinel pairs at the tail, starts [T+1], seg_len [T],
+    clipped — scalar count of bbox cells dropped by the mtpg clamp).
     """
     n = means2d.shape[0]
     ntx, nty = tile_grid(width, height, tile_h, tile_w)
@@ -111,6 +112,27 @@ def sorted_stream(
     ty1 = jnp.clip(jnp.floor((my + r) / tile_h).astype(jnp.int32), 0, nty - 1)
     w_span = tx1 - tx0 + 1  # [N]
     h_span = ty1 - ty0 + 1
+
+    # A bbox larger than the mtpg slot budget is CENTER-clamped to the
+    # biggest aspect-preserving w_c x h_c <= mtpg cell block, and the
+    # clipped fringe cells are COUNTED: row-major slot assignment alone
+    # kept only the bbox's TOP rows (banded artifacts once shared
+    # binning's motion-inflated radii push footprints past mtpg) and the
+    # loss was invisible in every dropped-count diagnostic.
+    area = w_span * h_span
+    over = area > mtpg
+    sc = jnp.sqrt(jnp.float32(mtpg) / jnp.maximum(area, 1).astype(jnp.float32))
+    h_c = jnp.clip(jnp.floor(h_span * sc).astype(jnp.int32), 1, h_span)
+    w_c = jnp.clip(mtpg // h_c, 1, w_span)
+    h_c = jnp.clip(mtpg // w_c, 1, h_span)  # re-tighten: w_c*h_c <= mtpg
+    w_span_f = jnp.where(over, w_c, w_span)
+    h_span_f = jnp.where(over, h_c, h_span)
+    tx0 = jnp.where(over, tx0 + (w_span - w_span_f) // 2, tx0)
+    ty0 = jnp.where(over, ty0 + (h_span - h_span_f) // 2, ty0)
+    clipped = jnp.sum(
+        jnp.where(valid_o, area - w_span_f * h_span_f, 0)
+    ).astype(jnp.int32)
+    w_span, h_span = w_span_f, h_span_f
 
     # Expand: slot s covers bbox cell (s // w_span, s % w_span), row-major.
     slots = jnp.arange(mtpg, dtype=jnp.int32)  # [mtpg]
@@ -149,7 +171,7 @@ def sorted_stream(
         s_tiles, jnp.arange(num_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
     seg_len = starts[1:] - starts[:-1]
-    return s_gauss, starts, seg_len
+    return s_gauss, starts, seg_len, clipped
 
 
 def assign_tiles_arrays(
@@ -165,12 +187,12 @@ def assign_tiles_arrays(
     max_tiles_per_gaussian: int,
 ) -> TileLists:
     n = means2d.shape[0]
-    s_gauss, starts, seg_len = sorted_stream(
+    s_gauss, starts, seg_len, clipped = sorted_stream(
         means2d, radii, depths, valid, width, height, tile_h, tile_w,
         max_tiles_per_gaussian,
     )
     counts = jnp.minimum(seg_len, capacity).astype(jnp.int32)
-    num_dropped = jnp.sum(jnp.maximum(seg_len - capacity, 0))
+    num_dropped = jnp.sum(jnp.maximum(seg_len - capacity, 0)) + clipped
 
     # Dense [T, capacity] table by GATHER from the sorted id stream (an
     # XLA scatter here costs hundreds of ms on TPU; the gather is ~free).

@@ -27,7 +27,11 @@ from casualhdrsplat_tpu.ops.projection import project_gaussians
 class RasterizeAux(NamedTuple):
     radii: jnp.ndarray  # [V, N] screen radii (0 = culled) — ADC visibility
     depths: jnp.ndarray  # [V, N]
-    num_dropped: jnp.ndarray  # [] tile-capacity overflow counter
+    # [] dropped-contribution counter: stream/tile budget overflow plus
+    # bbox cells clipped by max_tiles_per_gaussian.  Units differ by path:
+    # per-view binning sums over all virtual views; shared binning counts
+    # its single shared stream once per frame (~1/n_virtual the former).
+    num_dropped: jnp.ndarray
 
 
 def default_backend() -> str:
@@ -158,14 +162,14 @@ def _rasterize_packed(
         )
         if means2d_offset is not None:
             proj = proj._replace(means2d=proj.means2d + means2d_offset)
-        s_gauss, starts, seg_len = binning.sorted_stream(
+        s_gauss, starts, seg_len, clipped = binning.sorted_stream(
             proj.means2d, proj.radii, proj.depths, proj.valid,
             width, height, th, tw, cfg.max_tiles_per_gaussian,
         )
         # budget overflow drops each overloaded tile's FAR TAIL
         # (waterfilled keep-nearest — never whole trailing tiles)
         seg_c, starts_c = binning.waterfill_segments(seg_len, s_budget)
-        dropped = jnp.sum(seg_len) - jnp.sum(seg_c)
+        dropped = jnp.sum(seg_len) - jnp.sum(seg_c) + clipped
         chunks = binning.pack_stream_chunks(
             starts_c, seg_c, s_budget, g, c_budget,
             out_row_offset=view_idx * num_tiles, sentinel_row=sentinel,
@@ -273,7 +277,7 @@ def _rasterize_packed_shared(
     r_shared = jnp.max(jnp.where(projs.valid, cheb + projs.radii, 0.0), axis=0)
     valid_any = jnp.any(projs.valid, axis=0)
 
-    s_gauss, starts, seg_len = binning.sorted_stream(
+    s_gauss, starts, seg_len, clipped = binning.sorted_stream(
         ref_m2d, r_shared, ref_depth, valid_any,
         width, height, th, tw, cfg.max_tiles_per_gaussian,
     )
@@ -281,7 +285,7 @@ def _rasterize_packed_shared(
     # matters MORE here: the Chebyshev inflation multiplies demand when
     # within-exposure motion is large.
     seg_c, starts_c = binning.waterfill_segments(seg_len, s_budget)
-    dropped = jnp.sum(seg_len) - jnp.sum(seg_c)
+    dropped = jnp.sum(seg_len) - jnp.sum(seg_c) + clipped
     base = binning.pack_stream_chunks(
         starts_c, seg_c, s_budget, g, c_budget,
         out_row_offset=0, sentinel_row=sentinel,

@@ -45,7 +45,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _packed_local_tiles(
     payload, aux, g_idx, cfg: RasterizeConfig, width, height,
-    gauss_size, tpd, tiles_pad, num_tiles,
+    gauss_size, tpd, tiles_pad, num_tiles, real_view,
 ):
     """Streaming-compositor tile stage of the sharded renderer (runs
     INSIDE shard_map, after the P2 all-gather).
@@ -83,7 +83,7 @@ def _packed_local_tiles(
     )
 
     def bin_view(payload_v, aux_v):
-        s_gauss, starts, seg_len = binning.sorted_stream(
+        s_gauss, starts, seg_len, clipped = binning.sorted_stream(
             payload_v[:, binning.COL_MX : binning.COL_MY + 1],
             aux_v[:, 0], aux_v[:, 1], aux_v[:, 2] > 0.5,
             width, height, th, tw, cfg.max_tiles_per_gaussian,
@@ -91,7 +91,7 @@ def _packed_local_tiles(
         # budget overflow drops each overloaded tile's FAR TAIL (waterfill
         # keep-nearest; same policy as the single-chip packed path)
         seg_c, starts_c = binning.waterfill_segments(seg_len, s_budget)
-        dropped = jnp.sum(seg_len) - jnp.sum(seg_c)
+        dropped = jnp.sum(seg_len) - jnp.sum(seg_c) + clipped
         stream_ids = binning.compact_stream_ids(
             s_gauss, starts, starts_c, s_budget, n_full, unconditional=True
         )
@@ -104,10 +104,13 @@ def _packed_local_tiles(
     vj = jnp.arange(v_local)
     starts_v = starts_all[vj % gauss_size, vj // gauss_size]  # [v_local, T+1]
     ids_v = ids_all[vj % gauss_size, vj // gauss_size]
-    assigned = (
+    slot_view = (
         jnp.arange(gauss_size, dtype=jnp.int32)[:, None]
         + jnp.arange(n_bin, dtype=jnp.int32)[None, :] * gauss_size
-    ) < v_local
+    )  # local view index each (gauss, bin) slot binned
+    assigned = (slot_view < v_local) & real_view[
+        jnp.clip(slot_view, 0, v_local - 1)
+    ]
     dropped_views = jnp.sum(jnp.where(assigned, drop_all, 0))
     dropped_total = jax.lax.pmean(
         jax.lax.psum(dropped_views, DATA_AXIS), GAUSS_AXIS
@@ -241,6 +244,9 @@ def rasterize_sharded(
         vms = jax.lax.dynamic_slice_in_dim(
             viewmats_all, d_idx * v_local, v_local, axis=0
         )
+        # view-batch pad copies (num_views % data_size != 0) must not
+        # count toward the dropped diagnostic — they re-bin identically
+        real_view = (d_idx * v_local + jnp.arange(v_local)) < num_views
 
         def per_view(viewmat):
             c2w = lie.se3_inverse(viewmat)
@@ -271,7 +277,7 @@ def rasterize_sharded(
         if use_packed:
             out4, dropped_total = _packed_local_tiles(
                 payload, aux, g_idx, cfg, width, height, gauss_size, tpd,
-                tiles_pad, num_tiles,
+                tiles_pad, num_tiles, real_view,
             )
             return out4, radii_l, depths_l, dropped_total
 
@@ -329,7 +335,8 @@ def rasterize_sharded(
         # overflow diagnostic: reduce to a replicated scalar (every view
         # counts once; the gauss axis all computed identical bins)
         dropped_total = jax.lax.pmean(
-            jax.lax.psum(jnp.sum(dropped), DATA_AXIS), GAUSS_AXIS
+            jax.lax.psum(jnp.sum(jnp.where(real_view, dropped, 0)), DATA_AXIS),
+            GAUSS_AXIS,
         )
         return out4, radii_l, depths_l, dropped_total
 

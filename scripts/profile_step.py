@@ -91,12 +91,13 @@ def main():
         ref_depth = jnp.sum(projs.depths * validf, axis=0) / denom
         cheb = jnp.max(jnp.abs(projs.means2d - ref_m2d[None]), axis=-1)
         r_shared = jnp.max(jnp.where(projs.valid, cheb + projs.radii, 0.0), axis=0)
-        s_gauss, starts, seg_len = binning.sorted_stream(
+        s_gauss, starts, seg_len, _clip = binning.sorted_stream(
             ref_m2d, r_shared, ref_depth, jnp.any(projs.valid, axis=0),
             size, size, th, tw, cfg.max_tiles_per_gaussian,
         )
-        starts_c = jnp.minimum(starts, s_budget)
-        seg_c = jnp.minimum(starts[:-1] + seg_len, s_budget) - starts_c[:-1]
+        # waterfill, matching what training actually executes (the old
+        # clip-at-end form here silently drifted from ops/rasterize.py)
+        seg_c, starts_c = binning.waterfill_segments(seg_len, s_budget)
         base = binning.pack_stream_chunks(
             starts_c, seg_c, s_budget, g, c_budget,
             out_row_offset=0, sentinel_row=sentinel,

@@ -90,7 +90,7 @@ def test_overflow_keeps_every_tile_populated(rng):
 
     # recompute the waterfill level the packed path used
     proj = _project(cloud, cam, cfg_tiny)
-    _, _, seg_len = binning.sorted_stream(
+    _, _, seg_len, _ = binning.sorted_stream(
         proj.means2d, proj.radii, proj.depths, proj.valid,
         cam.width, cam.height, 8, 16, 32,
     )
@@ -146,3 +146,37 @@ def test_overflow_shared_binning_keeps_tiles(rng):
             got_region = np.asarray(img_tiny[v, y0:y0 + 8, x0:x0 + 16])
             if ref_region.max() > 0.05:
                 assert got_region.max() > 0.0, f"view {v} tile {t} erased"
+
+
+def test_mtpg_overflow_center_clamped_and_counted():
+    """A footprint larger than max_tiles_per_gaussian must (a) surface in
+    the clipped count — it was previously invisible to every dropped
+    diagnostic — and (b) keep the CENTRAL tiles of the bbox (the splat
+    mass), not the row-major top rows (banded artifacts)."""
+    import jax.numpy as jnp
+
+    from casualhdrsplat_tpu.ops import binning
+
+    w = h = 128  # 8x8 grid of 16x16 tiles
+    mtpg = 4
+    means2d = jnp.array([[64.0, 64.0]])  # center of the image
+    radii = jnp.array([60.0])  # bbox covers ~the whole 8x8 grid
+    depths = jnp.array([1.0])
+    valid = jnp.array([True])
+    s_gauss, starts, seg_len, clipped = binning.sorted_stream(
+        means2d, radii, depths, valid, w, h, 16, 16, mtpg
+    )
+    assert int(clipped) > 0
+    kept_tiles = [int(t) for t in jnp.nonzero(seg_len)[0]]
+    assert len(kept_tiles) <= mtpg
+    # the mean sits in tile (4,4) of the 8x8 grid; the kept block must
+    # surround it (center-clamp), i.e. every kept tile within 1 cell
+    for t in kept_tiles:
+        ty, tx = divmod(t, 8)
+        assert abs(tx - 4) <= 1 and abs(ty - 4) <= 1, kept_tiles
+    # small footprints are untouched and report zero clipped
+    _, _, seg_small, clip_small = binning.sorted_stream(
+        means2d, jnp.array([10.0]), depths, valid, w, h, 16, 16, 32
+    )
+    assert int(clip_small) == 0
+    assert int(jnp.sum(seg_small)) == 4  # 2x2 tiles at radius 10
