@@ -43,13 +43,26 @@ class ColmapCamera:
     params: np.ndarray  # model-specific
 
     def pinhole(self) -> Tuple[float, float, float, float]:
-        """Return (fx, fy, cx, cy); distortion params beyond pinhole are
-        ignored (the lineage undistorts offline)."""
+        """Return (fx, fy, cx, cy).  Distortion terms are handled by
+        `data/undistort.py` at image-load time (the lineage shells out to
+        COLMAP's image_undistorter instead)."""
         p = self.params
         if self.model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL",
-                          "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE", "FOV"):
+                          "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE"):
+            # single-focal models: (f, cx, cy, ...)
             return float(p[0]), float(p[0]), float(p[1]), float(p[2])
+        # (fx, fy, cx, cy, ...) models — incl. FOV, whose params are
+        # fx fy cx cy omega (NOT single-focal; fixed in round 2).
         return float(p[0]), float(p[1]), float(p[2]), float(p[3])
+
+    def has_distortion(self) -> bool:
+        p = np.asarray(self.params, np.float64)
+        if self.model in ("SIMPLE_PINHOLE", "PINHOLE"):
+            return False
+        if self.model in ("SIMPLE_RADIAL", "RADIAL",
+                          "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE"):
+            return bool(np.any(np.abs(p[3:]) > 1e-12))
+        return bool(np.any(np.abs(p[4:]) > 1e-12))
 
 
 @dataclass

@@ -136,15 +136,25 @@ def load_colmap_dataset(
     images_dir = images_dir or os.path.join(path, "images")
 
     ordered = sorted(col_images.values(), key=lambda im: im.name)
+    cam0 = cams[ordered[0].camera_id]
+    fx, fy, cx, cy = cam0.pinhole()
+    s = 1.0 / downscale
     imgs: List[np.ndarray] = []
     viewmats: List[np.ndarray] = []
     for im in ordered:
         fp = os.path.join(images_dir, im.name)
-        imgs.append(_load_image(fp, downscale))
+        img = _load_image(fp, downscale)
+        if cam0.has_distortion():
+            # resample onto the ideal pinhole grid so the rasterizer's
+            # pinhole camera stays exact (SURVEY.md C19; the lineage runs
+            # COLMAP image_undistorter offline instead).
+            from casualhdrsplat_tpu.data import undistort as und
+
+            img = und.undistort_image(
+                img, cam0.model, cam0.params,
+                fx * s, fy * s, cx * s, cy * s)
+        imgs.append(img)
         viewmats.append(im.viewmat())
-    cam0 = cams[ordered[0].camera_id]
-    fx, fy, cx, cy = cam0.pinhole()
-    s = 1.0 / downscale
     if timestamps is None:
         from casualhdrsplat_tpu.data.video import timestamps_from_names
 

@@ -146,3 +146,102 @@ def test_load_image_downscale_area_averages(tmp_path):
     out = dataset._load_image(path, downscale=2)
     assert out.shape == (2, 3, 3)  # 5//2 x 6//2
     np.testing.assert_allclose(out, 0.5, atol=1e-6)
+
+
+def test_undistort_roundtrip_radial():
+    """Synthesize a distorted capture of a smooth scene via iterative
+    point UNdistortion, then check undistort_image recovers the ideal
+    pinhole view (data/undistort.py; COLMAP image_undistorter parity)."""
+    from casualhdrsplat_tpu.data import undistort as und
+
+    h, w = 48, 64
+    fx = fy = 55.0
+    cx, cy = w / 2.0, h / 2.0
+    params = np.array([fx, cx, cy, -0.15])  # SIMPLE_RADIAL, barrel
+
+    def scene(xn, yn):
+        v = 0.5 + 0.3 * np.sin(4.0 * xn) * np.cos(5.0 * yn) + 0.15 * xn
+        return np.repeat(np.clip(v, 0, 1)[..., None], 3, -1).astype(np.float32)
+
+    u, v = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+    # distorted capture: pixel p sees the ray whose DISTORTED projection
+    # lands at p, i.e. scene at undistort(norm(p)).
+    xu, yu = und.undistort_points("SIMPLE_RADIAL", params,
+                                  (u - cx) / fx, (v - cy) / fy)
+    captured = scene(xu, yu)
+    # iterative inversion must actually invert the forward model
+    xd, yd = und.distort("SIMPLE_RADIAL", params, xu, yu)
+    np.testing.assert_allclose(xd, (u - cx) / fx, atol=1e-9)
+    np.testing.assert_allclose(yd, (v - cy) / fy, atol=1e-9)
+
+    out = und.undistort_image(captured, "SIMPLE_RADIAL", params,
+                              fx, fy, cx, cy)
+    ideal = scene((u - cx) / fx, (v - cy) / fy)
+    # compare away from the border (corners clamp outside the capture)
+    err = np.abs(out[8:-8, 8:-8] - ideal[8:-8, 8:-8]).max()
+    assert err < 0.01, err
+
+
+def test_undistort_identity_and_models():
+    """Zero distortion terms are a no-op for every supported model; each
+    model's forward map runs and bends off-axis points."""
+    from casualhdrsplat_tpu.data import undistort as und
+
+    x = np.linspace(-0.4, 0.4, 9)
+    y = np.linspace(-0.3, 0.3, 9)
+    zero = {
+        "SIMPLE_RADIAL": np.array([50, 10, 10, 0.0]),
+        "RADIAL": np.array([50, 10, 10, 0.0, 0.0]),
+        "OPENCV": np.array([50, 50, 10, 10, 0, 0, 0, 0.0]),
+        "FULL_OPENCV": np.zeros(12) + [50, 50, 10, 10, 0, 0, 0, 0, 0, 0, 0, 0],
+        "FOV": np.array([50, 50, 10, 10, 0.0]),
+    }
+    for model, p in zero.items():
+        xd, yd = und.distort(model, p, x, y)
+        np.testing.assert_allclose(xd, x, atol=1e-7)
+        np.testing.assert_allclose(yd, y, atol=1e-7)
+    bent = {
+        "OPENCV": np.array([50, 50, 10, 10, -0.1, 0.01, 1e-3, -1e-3]),
+        "OPENCV_FISHEYE": np.array([50, 50, 10, 10, -0.05, 0.01, 0, 0]),
+        "SIMPLE_RADIAL_FISHEYE": np.array([50, 10, 10, -0.05]),
+        "RADIAL_FISHEYE": np.array([50, 10, 10, -0.05, 0.01]),
+        "FOV": np.array([50, 50, 10, 10, 0.6]),
+    }
+    for model, p in bent.items():
+        xd, yd = und.distort(model, p, x + 0.3, y + 0.2)
+        assert np.abs(xd - (x + 0.3)).max() > 1e-4, model
+        xu, yu = und.undistort_points(model, p, xd, yd)
+        np.testing.assert_allclose(xu, x + 0.3, atol=1e-6)
+        np.testing.assert_allclose(yu, y + 0.2, atol=1e-6)
+
+
+def test_colmap_loader_undistorts(tmp_path):
+    """A SIMPLE_RADIAL COLMAP model triggers undistortion at load; with a
+    pure-barrel lens the loaded frame differs from the raw capture but
+    the center pixel is preserved."""
+    import struct as _s
+
+    from PIL import Image
+
+    model_dir = str(tmp_path / "sparse" / "0")
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, "cameras.bin"), "wb") as f:
+        f.write(_s.pack("<Q", 1))
+        f.write(_s.pack("<iiQQ", 1, 2, 64, 48))  # model 2 = SIMPLE_RADIAL
+        f.write(_s.pack("<4d", 55.0, 32.0, 24.0, -0.2))
+    with open(os.path.join(model_dir, "images.bin"), "wb") as f:
+        f.write(_s.pack("<Q", 1))
+        f.write(_s.pack("<idddddddi", 1, 1.0, 0.0, 0.0, 0.0, 0, 0, 0, 1))
+        f.write(b"frame_000.png\x00")
+        f.write(_s.pack("<Q", 0))
+    with open(os.path.join(model_dir, "points3D.bin"), "wb") as f:
+        f.write(_s.pack("<Q", 0))
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng_img = np.random.default_rng(0).uniform(0, 255, (48, 64, 3))
+    Image.fromarray(rng_img.astype(np.uint8)).save(str(img_dir / "frame_000.png"))
+
+    ds = dataset.load_colmap_dataset(str(tmp_path))
+    raw = dataset._load_image(str(img_dir / "frame_000.png"))
+    assert not np.allclose(ds.images[0], raw)
+    np.testing.assert_allclose(ds.images[0][24, 32], raw[24, 32], atol=0.03)
