@@ -89,6 +89,11 @@ class DensifyConfig:
     split_factor: float = 1.6
     prune_opacity: float = 0.005
     prune_screen_radius: float = 0.15  # fraction of image diagonal
+    # Step from which the max-screen-radius prune activates; 0 = lineage
+    # default (only after the first opacity reset).  Set explicitly for
+    # runs that disable opacity resets — otherwise oversized splats are
+    # never pruned and binning demand grows unbounded.
+    screen_prune_from: int = 0
     opacity_reset_interval: int = 3000
     sh_degree_interval: int = 1000
     # Sharded runs only: when per-shard alive counts diverge by more than

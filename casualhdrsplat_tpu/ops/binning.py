@@ -42,7 +42,8 @@ COL_R, COL_G, COL_B, COL_ONE = 6, 7, 8, 9
 class TileLists(NamedTuple):
     indices: jnp.ndarray  # [num_tiles, capacity] int32 gaussian id (N = pad)
     counts: jnp.ndarray  # [num_tiles] int32 (clipped at capacity)
-    num_dropped: jnp.ndarray  # [] int32 — overflow diagnostics
+    num_dropped: jnp.ndarray  # [] int32 — tile-capacity overflow
+    num_clipped: jnp.ndarray  # [] int32 — bbox cells cut by the mtpg clamp
 
 
 def _ceil_log2(x: int) -> int:
@@ -192,7 +193,7 @@ def assign_tiles_arrays(
         max_tiles_per_gaussian,
     )
     counts = jnp.minimum(seg_len, capacity).astype(jnp.int32)
-    num_dropped = jnp.sum(jnp.maximum(seg_len - capacity, 0)) + clipped
+    num_dropped = jnp.sum(jnp.maximum(seg_len - capacity, 0))
 
     # Dense [T, capacity] table by GATHER from the sorted id stream (an
     # XLA scatter here costs hundreds of ms on TPU; the gather is ~free).
@@ -202,7 +203,8 @@ def assign_tiles_arrays(
     total = s_gauss.shape[0]
     gid = s_gauss[jnp.minimum(idx, total - 1)]
     table = jnp.where(in_seg, gid, n)
-    return TileLists(indices=table, counts=counts, num_dropped=num_dropped)
+    return TileLists(indices=table, counts=counts, num_dropped=num_dropped,
+                     num_clipped=clipped)
 
 
 class StreamChunks(NamedTuple):

@@ -27,11 +27,15 @@ from casualhdrsplat_tpu.ops.projection import project_gaussians
 class RasterizeAux(NamedTuple):
     radii: jnp.ndarray  # [V, N] screen radii (0 = culled) — ADC visibility
     depths: jnp.ndarray  # [V, N]
-    # [] dropped-contribution counter: stream/tile budget overflow plus
-    # bbox cells clipped by max_tiles_per_gaussian.  Units differ by path:
-    # per-view binning sums over all virtual views; shared binning counts
-    # its single shared stream once per frame (~1/n_virtual the former).
+    # [] dropped-contribution counters, split by cause so overflow tuning
+    # targets the right knob (stream_factor vs max_tiles_per_gaussian):
+    #   num_dropped — stream/tile budget overflow (waterfilled far tail),
+    #   num_clipped — bbox CELLS cut by the mtpg center-clamp (fringe
+    #   tiles of oversized footprints; alpha there is already small).
+    # Units differ by path: per-view binning sums over all virtual views;
+    # shared binning counts its single shared stream once per frame.
     num_dropped: jnp.ndarray
+    num_clipped: jnp.ndarray
 
 
 def default_backend() -> str:
@@ -90,11 +94,12 @@ def rasterize(
         )
         payload = binning.build_payload(proj, view_colors, opacities)
         gathered = binning.gather_payload(payload, tiles)
-        return gathered, tiles.counts, proj.radii, proj.depths, tiles.num_dropped
+        return (gathered, tiles.counts, proj.radii, proj.depths,
+                tiles.num_dropped, tiles.num_clipped)
 
     # colors: shared [N,3] or per-view [V,N,3] (view-dependent SH radiance)
     color_axis = 0 if colors.ndim == 3 else None
-    gathered, counts, radii, depths, dropped = jax.vmap(
+    gathered, counts, radii, depths, dropped, clipped = jax.vmap(
         per_view, in_axes=(0, color_axis)
     )(viewmats, colors)
     tt = v * ntx * nty
@@ -124,7 +129,9 @@ def rasterize(
     alphas = jnp.clip(out4[:, 3], 0.0, 1.0)  # [V,H,W]
     if background is not None:
         images = images + (1.0 - alphas)[..., None] * background[None, None, None, :]
-    aux = RasterizeAux(radii=radii, depths=depths, num_dropped=jnp.sum(dropped))
+    aux = RasterizeAux(radii=radii, depths=depths,
+                       num_dropped=jnp.sum(dropped),
+                       num_clipped=jnp.sum(clipped))
     return images, alphas, aux
 
 
@@ -169,7 +176,7 @@ def _rasterize_packed(
         # budget overflow drops each overloaded tile's FAR TAIL
         # (waterfilled keep-nearest — never whole trailing tiles)
         seg_c, starts_c = binning.waterfill_segments(seg_len, s_budget)
-        dropped = jnp.sum(seg_len) - jnp.sum(seg_c) + clipped
+        dropped = jnp.sum(seg_len) - jnp.sum(seg_c)
         chunks = binning.pack_stream_chunks(
             starts_c, seg_c, s_budget, g, c_budget,
             out_row_offset=view_idx * num_tiles, sentinel_row=sentinel,
@@ -187,11 +194,11 @@ def _rasterize_packed(
             seg_lo=chunks.seg_lo + view_idx * s_budget,
             seg_hi=chunks.seg_hi + view_idx * s_budget,
         )
-        return stream, chunks, proj.radii, proj.depths, dropped
+        return stream, chunks, proj.radii, proj.depths, dropped, clipped
 
     color_axis = 0 if colors.ndim == 3 else None
     view_ids = jnp.arange(v, dtype=jnp.int32)
-    streams, chunks_v, radii, depths, dropped = jax.vmap(
+    streams, chunks_v, radii, depths, dropped, clipped = jax.vmap(
         per_view, in_axes=(0, color_axis, 0)
     )(viewmats, colors, view_ids)
 
@@ -215,7 +222,9 @@ def _rasterize_packed(
     images, alphas = _assemble_tiles(
         out4, sentinel, v, ntx, nty, th, tw, height, width, background
     )
-    aux = RasterizeAux(radii=radii, depths=depths, num_dropped=jnp.sum(dropped))
+    aux = RasterizeAux(radii=radii, depths=depths,
+                       num_dropped=jnp.sum(dropped),
+                       num_clipped=jnp.sum(clipped))
     return images, alphas, aux
 
 
@@ -285,7 +294,7 @@ def _rasterize_packed_shared(
     # matters MORE here: the Chebyshev inflation multiplies demand when
     # within-exposure motion is large.
     seg_c, starts_c = binning.waterfill_segments(seg_len, s_budget)
-    dropped = jnp.sum(seg_len) - jnp.sum(seg_c) + clipped
+    dropped = jnp.sum(seg_len) - jnp.sum(seg_c)
     base = binning.pack_stream_chunks(
         starts_c, seg_c, s_budget, g, c_budget,
         out_row_offset=0, sentinel_row=sentinel,
@@ -330,6 +339,7 @@ def _rasterize_packed_shared(
         out4, sentinel, v, ntx, nty, th, tw, height, width, background
     )
     aux = RasterizeAux(
-        radii=projs.radii, depths=projs.depths, num_dropped=dropped
+        radii=projs.radii, depths=projs.depths, num_dropped=dropped,
+        num_clipped=clipped,
     )
     return images, alphas, aux

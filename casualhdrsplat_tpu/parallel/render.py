@@ -91,11 +91,11 @@ def _packed_local_tiles(
         # budget overflow drops each overloaded tile's FAR TAIL (waterfill
         # keep-nearest; same policy as the single-chip packed path)
         seg_c, starts_c = binning.waterfill_segments(seg_len, s_budget)
-        dropped = jnp.sum(seg_len) - jnp.sum(seg_c) + clipped
+        dropped = jnp.sum(seg_len) - jnp.sum(seg_c)
         stream_ids = binning.compact_stream_ids(
             s_gauss, starts, starts_c, s_budget, n_full, unconditional=True
         )
-        return starts_c, stream_ids, dropped
+        return starts_c, stream_ids, dropped + clipped
 
     starts_b, ids_b, drop_b = jax.vmap(bin_view)(payload[my_views], aux[my_views])
     starts_all = jax.lax.all_gather(starts_b, GAUSS_AXIS)  # [gs, n_bin, T+1]
@@ -425,7 +425,10 @@ def render_frame_sharded(
         hdr = hdr + (1.0 - alphas)[..., None]
     ldr = crf_mod.apply(params["crf"], hdr * dt, cfg.crf)
     blurred = jnp.mean(ldr, axis=0)
-    aux = RasterizeAux(radii=radii, depths=depths, num_dropped=dropped)
+    # the sharded binner reports one combined counter (overflow + clipped
+    # travel together through the collective); clipped stays zero here
+    aux = RasterizeAux(radii=radii, depths=depths, num_dropped=dropped,
+                       num_clipped=jnp.zeros((), jnp.int32))
     return imf.FrameRender(
         blurred_ldr=blurred, sharp_ldr=ldr, sharp_hdr=hdr, alphas=alphas, aux=aux
     )

@@ -117,6 +117,7 @@ class Trainer:
                 "psnr": losses.psnr(out.blurred_ldr, target),
                 "radii": out.aux.radii,
                 "num_dropped": out.aux.num_dropped,
+                "num_clipped": out.aux.num_clipped,
             }
             return loss, aux
 
@@ -135,7 +136,8 @@ class Trainer:
         )
         # one fused scalar vector -> ONE host readback per step in run_step
         scalars = jnp.stack(
-            [loss, aux["psnr"], aux["num_dropped"].astype(jnp.float32)]
+            [loss, aux["psnr"], aux["num_dropped"].astype(jnp.float32),
+             aux["num_clipped"].astype(jnp.float32)]
         )
         return params, opt_state, adc, scalars
 
@@ -214,9 +216,14 @@ class Trainer:
             and self.step % d.interval == 0
         ):
             self.key, sub = jax.random.split(self.key)
+            screen_prune_from = (
+                d.screen_prune_from
+                if d.screen_prune_from > 0
+                else d.opacity_reset_interval
+            )
             self.params, self.opt_state, self.adc, report = self._densify(
                 self.params, self.opt_state, self.adc, sub,
-                self.step > d.opacity_reset_interval,
+                self.step > screen_prune_from,
             )
             self._maybe_rebalance()
         else:
@@ -233,13 +240,14 @@ class Trainer:
                 self.params,
                 gaussians=densify_mod.reset_opacity(self.params["gaussians"]),
             )
-        loss_v, psnr_v, dropped_v = np.asarray(scalars)
+        loss_v, psnr_v, dropped_v, clipped_v = np.asarray(scalars)
         # binning-budget overflow is an APPROXIMATION (waterfilled far-tail
         # drop per tile) — surfaced so a blown budget is never silent
         out = {
             "loss": float(loss_v),
             "psnr": float(psnr_v),
             "dropped": float(dropped_v),
+            "clipped": float(clipped_v),
         }
         if report is not None:
             out.update(
