@@ -127,15 +127,22 @@ def main():
     cfg.model.sh_degree = 3
     cfg.model.num_virtual_views = args.virtual_views
     cfg.model.crf.kind = "mlp"
-    # stream_factor=9: run 4 measured demand ~7.5M rows vs the default
-    # 6-factor budget of 6.29M — 1.2M contributions were dropped EVERY
-    # step and the fit plateaued at 14.8 dB.  9x = 9.4M rows of headroom.
-    # chunk=256 keeps the SMEM chunk-metadata count (budget/chunk + tiles)
-    # BELOW the known-good 69k: 3 prefetch words x 94k chunks at chunk=128
-    # would re-overflow the 1 MB SMEM budget (the run-2 OOM).
+    # PER-VIEW binning (shared_binning=False), run-7 retune.  Run 6 used
+    # shared binning: under this fixture's heavy within-exposure motion
+    # (~26 px) the Chebyshev radius inflation multiplied binning demand
+    # ~5x, the shared stream (9x131072 = 1.18M rows) overflowed by ~2x,
+    # and HALF of every step's contributions were waterfill-dropped — the
+    # fit plateaued at 13 dB.  Per-view binning is both oracle-EXACT and
+    # cheaper here: run 4 measured ~0.94M rows/view demand at full 131k
+    # capacity, so stream_factor=12 (1.57M rows/view) gives ~65% headroom
+    # while the kernel walks 8x1.57M = 12.6M rows vs 8x2.6M+ for an
+    # inflation-sized shared stream.
+    # chunk=256 keeps the SMEM chunk-metadata count at the known-good 69k
+    # (c_budget = 1.57M/256 + 2500 tiles + 1 = 8.6k per view x 8 views);
+    # chunk=128 would double it and re-overflow SMEM (the run-2 OOM).
     cfg.model.rasterize = config.RasterizeConfig(
         tile_h=16, tile_w=16, tile_capacity=1024, max_tiles_per_gaussian=32,
-        chunk=256, backend="auto", stream_factor=9,
+        chunk=256, backend="auto", stream_factor=12, shared_binning=False,
     )
     cfg.densify.enabled = True
     cfg.densify.start_iter = 500
@@ -148,6 +155,12 @@ def main():
     # No opacity resets inside a short run: each reset costs ~1000 steps
     # of recovery (the step-3000/6000 PSNR craters in runs 2/4).
     cfg.densify.opacity_reset_interval = 10 * args.steps
+    # ...but opacity resets are what normally arm the max-screen-radius
+    # prune; arm it explicitly so oversized splats cannot blow up the
+    # binning budget (they are the mtpg-clip tail the `clipped` counter
+    # tracks).
+    cfg.densify.screen_prune_from = 600
+    cfg.densify.prune_screen_radius = 0.10
     cfg.optim.max_steps = args.steps
     cfg.data.eval_every = 0  # per-frame exposures: train on every frame
     cfg.log_every = 100
@@ -256,11 +269,17 @@ def main():
 
     while t.step < cfg.optim.max_steps:
         out = t.run_step()
+        if t.step % 200 == 0 and t.step % 1000 != 0:
+            # cheap heartbeat between evals: overflow health at a glance
+            print(json.dumps({"step": t.step, "loss": round(out["loss"], 5),
+                              "dropped": out["dropped"],
+                              "clipped": out["clipped"]}), flush=True)
         if t.step % 1000 == 0 or t.step == cfg.optim.max_steps:
             m = t.evaluate(indices=eval_idx)
             alive = int(jnp.sum(t.params["gaussians"]["alive"]))
             entry = {"step": t.step, "loss": out["loss"], "alive": alive,
-                     "dropped": out["dropped"], **m}
+                     "dropped": out["dropped"], "clipped": out["clipped"],
+                     **m}
             curve.append(entry)
             print(json.dumps(entry), flush=True)
             with open(args.out + ".progress", "a") as f:
