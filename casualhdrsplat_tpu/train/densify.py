@@ -286,6 +286,23 @@ def rebalance_store(
     return out, opt_out, adc_out
 
 
+def screen_prune_active(step: int, cfg: DensifyConfig) -> bool:
+    """Whether the max-screen-radius prune is armed at `step`.
+
+    Lineage behavior: the screen-size prune only fires after the first
+    opacity reset (3DGS `densify_and_prune`'s `max_screen_size` gate).
+    `cfg.screen_prune_from > 0` arms it at an explicit step instead —
+    required by runs that disable opacity resets, where the lineage gate
+    would never open and oversized splats would grow binning demand
+    without bound."""
+    start = (
+        cfg.screen_prune_from
+        if cfg.screen_prune_from > 0
+        else cfg.opacity_reset_interval
+    )
+    return step > start
+
+
 def reset_opacity(gauss: Dict[str, jnp.ndarray], value: float = 0.01):
     """Clamp opacities down (every 3k steps in the lineage) so pruning can
     retire Gaussians that stopped contributing."""

@@ -216,14 +216,9 @@ class Trainer:
             and self.step % d.interval == 0
         ):
             self.key, sub = jax.random.split(self.key)
-            screen_prune_from = (
-                d.screen_prune_from
-                if d.screen_prune_from > 0
-                else d.opacity_reset_interval
-            )
             self.params, self.opt_state, self.adc, report = self._densify(
                 self.params, self.opt_state, self.adc, sub,
-                self.step > screen_prune_from,
+                densify_mod.screen_prune_active(self.step, d),
             )
             self._maybe_rebalance()
         else:

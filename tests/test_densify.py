@@ -339,3 +339,14 @@ def test_trainer_rebalance_on_mesh():
     assert np.isfinite(out["loss"])
     # balanced now: second call is a no-op
     assert not t._maybe_rebalance()
+
+
+def test_screen_prune_gate():
+    # lineage default: armed only after the first opacity reset
+    cfg = DensifyConfig(opacity_reset_interval=3000)
+    assert not densify.screen_prune_active(3000, cfg)
+    assert densify.screen_prune_active(3001, cfg)
+    # explicit start overrides (runs with opacity resets disabled)
+    cfg = DensifyConfig(opacity_reset_interval=10**9, screen_prune_from=600)
+    assert not densify.screen_prune_active(600, cfg)
+    assert densify.screen_prune_active(601, cfg)
