@@ -106,6 +106,33 @@ def cmd_render(args):
                 (np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
             )
 
+    if args.mode == "novel":
+        # Continuous-time novel views (the lineage's `ns-render
+        # camera-path`/interpolate): the OPTIMIZED SE(3) spline is already
+        # a smooth camera path through the capture, so sample it densely
+        # between the first and last frame and render sharp views at a
+        # fixed virtual exposure (learned geometric mean unless given).
+        t0 = float(t.scene.timestamps[0])
+        last = t.dataset.num_frames - 1
+        t1 = float(t.scene.timestamps[last]) + float(
+            imf.exposure_of(t.params, last)
+        )
+        times = np.linspace(t0, t1, args.path_n)
+        dt = (
+            jnp.asarray(args.exposure)
+            if args.exposure > 0
+            else jnp.exp(jnp.mean(t.params["log_exposures"]))
+        )
+        viewmats = imf.poses_at(
+            t.params, t.scene, jnp.asarray(times, jnp.float32), cfg.model
+        )
+        for j in range(args.path_n):
+            img, _, _ = imf.render_pose(
+                t.params, t.scene, viewmats[j], cfg.model, exposure=dt
+            )
+            _save(os.path.join(args.out, f"novel_{j:04d}.png"), img)
+        frames = []
+
     for i in frames:
         if args.mode == "deblur":
             img, _, _ = imf.render_deblurred(t.params, t.scene, jnp.asarray(i), cfg.model)
@@ -196,7 +223,11 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--mode", default="deblur",
                     choices=["deblur", "hdr", "exposure-sweep", "blurred",
-                             "depth"])
+                             "depth", "novel"])
+    sp.add_argument("--path-n", type=int, default=60,
+                    help="novel mode: number of samples along the spline")
+    sp.add_argument("--exposure", type=float, default=0.0,
+                    help="novel mode: virtual exposure (0 = learned mean)")
     sp.add_argument("--out", default="renders")
     sp.add_argument("--frames", default="", help="comma-separated frame ids")
     sp.add_argument("--gif", default="", help="also assemble the rendered "

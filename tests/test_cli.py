@@ -96,3 +96,14 @@ def test_train_render_export(tmp_path):
     assert (tmp_path / "renders3" / "depth_0000.png").exists()
     assert (tmp_path / "renders3" / "depth_0001.npy").exists()
     assert (tmp_path / "renders3" / "anim.gif").exists()
+
+    # continuous-time novel-view trajectory along the optimized spline
+    r = run_cli(
+        ["render", "--checkpoint", step_dir, "--mode", "novel",
+         "--path-n", "3", "--out", f"{tmp_path}/renders4",
+         "--gif", f"{tmp_path}/renders4/path.gif"],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (tmp_path / "renders4" / "novel_0002.png").exists()
+    assert (tmp_path / "renders4" / "path.gif").exists()
