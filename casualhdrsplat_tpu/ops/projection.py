@@ -172,6 +172,21 @@ def project_gaussians(
     )
 
 
+def cull_invisible(proj: Projected, opacities: jnp.ndarray) -> Projected:
+    """Drop exactly-zero-opacity splats (dead capacity slots) from binning.
+
+    The fixed-capacity store keeps dead slots at the origin with a
+    sub-pixel scale; the EWA blur floor still gives them a ~1.6 px radius,
+    so without this they are all binned into whichever tile contains the
+    projected origin — wasting stream/tile budget, stealing waterfill
+    slots from real far-tail contributions, and polluting the
+    dropped-counter diagnostics.  Bit-exact: alpha = opacity * exp(...)
+    is exactly 0 for them, so compositing never sees a difference.
+    Broadcasting: valid may be [V, N] with opacities [N]."""
+    vis = proj.valid & (opacities > 0.0)
+    return proj._replace(valid=vis, radii=jnp.where(vis, proj.radii, 0.0))
+
+
 def view_directions(means3d: jnp.ndarray, camtoworld: jnp.ndarray) -> jnp.ndarray:
     """Unit directions from the camera center to each Gaussian (for SH)."""
     campos = camtoworld[:3, 3]

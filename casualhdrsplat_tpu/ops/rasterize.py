@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from casualhdrsplat_tpu.config import RasterizeConfig
 from casualhdrsplat_tpu.ops import binning
 from casualhdrsplat_tpu.ops.composite import CompositeStatics, composite_tiles
-from casualhdrsplat_tpu.ops.projection import project_gaussians
+from casualhdrsplat_tpu.ops.projection import cull_invisible, project_gaussians
 
 
 class RasterizeAux(NamedTuple):
@@ -88,6 +88,7 @@ def rasterize(
         )
         if means2d_offset is not None:
             proj = proj._replace(means2d=proj.means2d + means2d_offset)
+        proj = cull_invisible(proj, opacities)
         tiles = binning.assign_tiles(
             proj, width, height, th, tw, cfg.tile_capacity,
             cfg.max_tiles_per_gaussian,
@@ -169,6 +170,7 @@ def _rasterize_packed(
         )
         if means2d_offset is not None:
             proj = proj._replace(means2d=proj.means2d + means2d_offset)
+        proj = cull_invisible(proj, opacities)
         s_gauss, starts, seg_len, clipped = binning.sorted_stream(
             proj.means2d, proj.radii, proj.depths, proj.valid,
             width, height, th, tw, cfg.max_tiles_per_gaussian,
@@ -274,7 +276,7 @@ def _rasterize_packed_shared(
         )
         if means2d_offset is not None:
             proj = proj._replace(means2d=proj.means2d + means2d_offset)
-        return proj
+        return cull_invisible(proj, opacities)
 
     projs = jax.vmap(project_view)(viewmats)  # Projected with [V,...] leaves
 

@@ -34,7 +34,7 @@ from casualhdrsplat_tpu.models import crf as crf_mod
 from casualhdrsplat_tpu.models import gaussians as gauss_mod
 from casualhdrsplat_tpu.ops import binning, rasterize_packed
 from casualhdrsplat_tpu.ops.composite import CompositeStatics, composite_tiles
-from casualhdrsplat_tpu.ops.projection import project_gaussians
+from casualhdrsplat_tpu.ops.projection import cull_invisible, project_gaussians
 from casualhdrsplat_tpu.ops.rasterize import resolve_backend
 from casualhdrsplat_tpu.parallel.mesh import DATA_AXIS, GAUSS_AXIS
 
@@ -257,6 +257,7 @@ def rasterize_sharded(
                 antialias=cfg.antialias,
             )
             proj = proj._replace(means2d=proj.means2d + offset)
+            proj = cull_invisible(proj, act.opacities)
             opa = jnp.where(proj.valid, act.opacities * proj.compensation, 0.0)
             payload = binning.build_payload_rows(
                 proj.means2d, proj.conics, opa, colors
