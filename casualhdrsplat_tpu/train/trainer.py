@@ -259,8 +259,28 @@ class Trainer:
         self.logger = self.logger or metrics_mod.MetricsLogger(out_dir)
         timer = metrics_mod.Timer()
         last: Dict[str, float] = {}
+        # Persistent stream-budget overflow corrupts gradients (the fit
+        # plateaus; see docs/TUNING.md) — make it LOUD, once.
+        r = cfg.model.rasterize
+        stream_budget = (
+            min(r.stream_factor, r.max_tiles_per_gaussian)
+            * cfg.model.max_gaussians
+            * cfg.model.num_virtual_views
+        )
+        overflow_warned = False
         while self.step < cfg.optim.max_steps:
             last = self.run_step()
+            if not overflow_warned and last["dropped"] > 0.05 * stream_budget:
+                print(
+                    f"WARNING step {self.step}: {last['dropped']:.0f} "
+                    f"intersections dropped (> 5% of the "
+                    f"{stream_budget}-row stream budget). Training "
+                    "gradients are being truncated — raise "
+                    "model.rasterize.stream_factor or reduce footprint "
+                    "demand (docs/TUNING.md).",
+                    flush=True,
+                )
+                overflow_warned = True
             if self.step % cfg.log_every == 0:
                 dt = timer.lap()
                 mpix = (

@@ -84,3 +84,36 @@ def test_smoothness_prior_finite():
     assert np.isfinite(float(p))
     g = jax.grad(lambda pp: crf.smoothness_prior(pp, cfg))(params)
     assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(g))
+
+
+def test_gamma_recovery_at_default_lr():
+    """The default crf_lr must recover a gamma-2.2 response to high
+    accuracy under direct supervision — lr 1e-3 stalls at rmse ~0.05
+    (a ~22 dB ceiling on the whole pipeline, the round-2 quality-run
+    plateau); the 5e-3 default reaches <0.01 well within 3k steps."""
+    from casualhdrsplat_tpu.config import OptimConfig
+
+    cfg = CRFConfig(kind="mlp", hidden=32)
+    params = crf.create(cfg)
+    key = jax.random.PRNGKey(0)
+    e = jnp.exp(jax.random.uniform(key, (2048,), minval=np.log(1e-3),
+                                   maxval=np.log(3.0)))
+    x3 = jnp.tile(e[:, None], (1, 3))
+    gt = jnp.clip(x3, 0.0, 1.0) ** (1.0 / 2.2)
+
+    opt = optax.adam(OptimConfig().crf_lr)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss(p):
+            return jnp.mean(jnp.abs(crf.apply(p, x3, cfg) - gt))
+
+        l, g = jax.value_and_grad(loss)(p)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(p, u), s, l
+
+    for _ in range(3000):
+        params, state, _ = step(params, state)
+    rmse = float(jnp.sqrt(jnp.mean((crf.apply(params, x3, cfg) - gt) ** 2)))
+    assert rmse < 0.01, rmse
