@@ -175,7 +175,8 @@ def main():
         _wd.cancel()
     if "--sharded" in sys.argv:
         i = sys.argv.index("--sharded")
-        dg = sys.argv[i + 1].split(",") if len(sys.argv) > i + 1 else ["1", "1"]
+        dg = sys.argv[i + 1].split(",") if len(sys.argv) > i + 1 else ["1"]
+        dg += ["1"] * (2 - len(dg))  # "--sharded 4" means a 4x1 mesh
         step, args, pixels = build_sharded(data=int(dg[0]), gauss=int(dg[1]))
     else:
         step, args, pixels = build()

@@ -141,18 +141,26 @@ def load_colmap_dataset(
     s = 1.0 / downscale
     imgs: List[np.ndarray] = []
     viewmats: List[np.ndarray] = []
+    uv_map = None
+    undistorting = cam0.has_distortion()
+    if undistorting:
+        # resample onto the ideal pinhole grid so the rasterizer's
+        # pinhole camera stays exact (SURVEY.md C19; the lineage runs
+        # COLMAP image_undistorter offline instead).  The sampling map
+        # depends only on the camera: built once, reused per frame.
+        from casualhdrsplat_tpu.data import undistort as und
     for im in ordered:
         fp = os.path.join(images_dir, im.name)
         img = _load_image(fp, downscale)
-        if cam0.has_distortion():
-            # resample onto the ideal pinhole grid so the rasterizer's
-            # pinhole camera stays exact (SURVEY.md C19; the lineage runs
-            # COLMAP image_undistorter offline instead).
-            from casualhdrsplat_tpu.data import undistort as und
-
+        if undistorting:
+            if uv_map is None:
+                uv_map = und.undistort_map(
+                    cam0.model, cam0.params,
+                    img.shape[1], img.shape[0],
+                    fx * s, fy * s, cx * s, cy * s)
             img = und.undistort_image(
                 img, cam0.model, cam0.params,
-                fx * s, fy * s, cx * s, cy * s)
+                fx * s, fy * s, cx * s, cy * s, uv_map=uv_map)
         imgs.append(img)
         viewmats.append(im.viewmat())
     if timestamps is None:

@@ -160,12 +160,27 @@ def make_casual_video(
         import jax
 
         @jax.jit
-        def render_views(mats):
-            imgs, _, _ = raster_mod.rasterize(
+        def _render_views_fast(mats):
+            imgs, _, aux = raster_mod.rasterize(
                 cloud.means3d, cloud.quats, cloud.scales, cloud.opacities,
                 cloud.colors, mats, cam.fx, cam.fy, cam.cx, cam.cy,
                 cam.width, cam.height, raster_cfg,
             )
+            return imgs, aux.num_dropped
+
+        def render_views(mats):
+            imgs, dropped = _render_views_fast(mats)
+            # GROUND TRUTH must never be budget-truncated: a waterfilled
+            # fixture silently corrupts every downstream quality metric
+            # (the first 800^2 fixture cut rendered with empty image
+            # bottoms).  Raise rather than return approximate GT.
+            if int(dropped) != 0:
+                raise ValueError(
+                    f"synthetic GT fixture overflowed the rasterizer "
+                    f"stream budget ({int(dropped)} contributions "
+                    "dropped) — raise raster_cfg.stream_factor / "
+                    "tile_capacity or shrink the fixture (docs/TUNING.md)"
+                )
             return imgs
     else:
 

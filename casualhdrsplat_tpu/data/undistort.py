@@ -115,23 +115,37 @@ def undistort_points(model: str, params: np.ndarray, xd: np.ndarray,
     return x, y
 
 
+def undistort_map(model: str, params: np.ndarray, width: int, height: int,
+                  fx: float, fy: float, cx: float, cy: float):
+    """(us, vs) source-pixel sampling maps for `undistort_image`.
+
+    Depends only on the camera, not the frame — compute ONCE per camera
+    and reuse across a video's frames (hundreds of frames share one
+    camera; rebuilding the meshgrid + distortion polynomial per frame is
+    minutes of redundant host work at 4K).
+    """
+    u, v = np.meshgrid(np.arange(width, dtype=np.float64) + 0.5,
+                       np.arange(height, dtype=np.float64) + 0.5)
+    xn = (u - cx) / fx
+    yn = (v - cy) / fy
+    xd, yd = distort(model, params, xn, yn)
+    return xd * fx + cx - 0.5, yd * fy + cy - 0.5
+
+
 def undistort_image(img: np.ndarray, model: str, params: np.ndarray,
-                    fx: float, fy: float, cx: float, cy: float
-                    ) -> np.ndarray:
+                    fx: float, fy: float, cx: float, cy: float,
+                    uv_map=None) -> np.ndarray:
     """Resample a distorted capture onto the ideal pinhole grid.
 
     For each output pinhole pixel: normalized coords -> forward distort ->
     source pixel -> bilinear sample.  Out-of-source samples clamp to the
-    border (the corners a pincushion lens never saw).
+    border (the corners a pincushion lens never saw).  Pass `uv_map`
+    (from `undistort_map`) to reuse the per-camera sampling grid.
     """
     h, w = img.shape[:2]
-    u, v = np.meshgrid(np.arange(w, dtype=np.float64) + 0.5,
-                       np.arange(h, dtype=np.float64) + 0.5)
-    xn = (u - cx) / fx
-    yn = (v - cy) / fy
-    xd, yd = distort(model, params, xn, yn)
-    us = xd * fx + cx - 0.5
-    vs = yd * fy + cy - 0.5
+    if uv_map is None:
+        uv_map = undistort_map(model, params, w, h, fx, fy, cx, cy)
+    us, vs = uv_map
     return _bilinear(img, us, vs)
 
 

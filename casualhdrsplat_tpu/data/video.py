@@ -70,17 +70,29 @@ def timestamps_from_names(names: List[str], fps: float) -> np.ndarray:
     """Per-frame capture times from frame-numbered filenames.
 
     Uses the LAST number in each basename (frame_00042.png -> 42) so
-    timestamps stay correct when SfM drops frames; falls back to ordinal
-    position when names carry no number.
+    timestamps stay correct when SfM drops frames.  Falls back to ordinal
+    position when the numbers do not look like a frame counter: missing
+    on some names, non-increasing in name order, or implausibly sparse
+    (photo sets named by date/time, e.g. IMG_20230401_123456.jpg, would
+    otherwise produce a garbage timeline for the SE(3) spline).
     """
     ts = []
-    for i, name in enumerate(names):
+    for name in names:
         stem = os.path.splitext(os.path.basename(name))[0]
         m = _FRAME_RE.search(stem)
-        ts.append(int(m.group(1)) if m else i)
-    ts = np.asarray(ts, np.float64)
-    ts = ts - ts.min()
-    return (ts / fps).astype(np.float32)
+        ts.append(int(m.group(1)) if m else None)
+    n = len(ts)
+    counter_like = (
+        n > 0
+        and all(t is not None for t in ts)
+        and all(b > a for a, b in zip(ts, ts[1:]))
+        # a counter with SfM drops stays dense; > 16x average spacing
+        # means these are date stamps or unrelated ids
+        and (n < 2 or (max(ts) - min(ts)) <= 16 * (n - 1))
+    )
+    arr = np.asarray(ts if counter_like else range(n), np.float64)
+    arr = arr - (arr.min() if n else 0.0)
+    return (arr / fps).astype(np.float32)
 
 
 def prepare_video_dataset(

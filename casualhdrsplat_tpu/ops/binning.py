@@ -351,9 +351,17 @@ def compact_stream_ids(
         ).astype(jnp.int32)
 
     def prefix():
-        return jnp.where(
-            j < starts_c[t], s_gauss[:budget], pad_id
-        ).astype(jnp.int32)
+        # budget may exceed the raw stream length (it is chunk-rounded
+        # UP from min(N*mtpg, stream_factor*N)); pad rather than slice so
+        # the no-overflow branch still traces (mtpg < stream_factor with
+        # N*mtpg not a chunk multiple hits this in the shared path).
+        if budget <= total:
+            pre = s_gauss[:budget]
+        else:
+            pre = jnp.concatenate(
+                [s_gauss, jnp.full((budget - total,), pad_id, s_gauss.dtype)]
+            )
+        return jnp.where(j < starts_c[t], pre, pad_id).astype(jnp.int32)
 
     if unconditional:
         return compacted()

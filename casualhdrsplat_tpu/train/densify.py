@@ -295,12 +295,11 @@ def screen_prune_active(step: int, cfg: DensifyConfig) -> bool:
     required by runs that disable opacity resets, where the lineage gate
     would never open and oversized splats would grow binning demand
     without bound."""
-    start = (
-        cfg.screen_prune_from
-        if cfg.screen_prune_from > 0
-        else cfg.opacity_reset_interval
-    )
-    return step > start
+    if cfg.screen_prune_from > 0:
+        # explicit arming step: active AT that step (config docstring)
+        return step >= cfg.screen_prune_from
+    # lineage default: only after the first opacity reset
+    return step > cfg.opacity_reset_interval
 
 
 def reset_opacity(gauss: Dict[str, jnp.ndarray], value: float = 0.01):

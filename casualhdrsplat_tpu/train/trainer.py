@@ -262,10 +262,17 @@ class Trainer:
         # Persistent stream-budget overflow corrupts gradients (the fit
         # plateaus; see docs/TUNING.md) — make it LOUD, once.
         r = cfg.model.rasterize
+        # shared binning = ONE stream per frame; per-view = one per view
+        n_streams = (
+            1
+            if (r.packed and r.shared_binning
+                and cfg.model.num_virtual_views > 1)
+            else cfg.model.num_virtual_views
+        )
         stream_budget = (
             min(r.stream_factor, r.max_tiles_per_gaussian)
             * cfg.model.max_gaussians
-            * cfg.model.num_virtual_views
+            * n_streams
         )
         overflow_warned = False
         while self.step < cfg.optim.max_steps:

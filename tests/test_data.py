@@ -85,6 +85,27 @@ def test_colmap_timestamps_from_registered_names(tmp_path):
     np.testing.assert_allclose(ds.timestamps, [0.0, 0.2], atol=1e-6)
 
 
+def test_timestamps_fall_back_to_ordinal_for_photo_names():
+    """Date/time-stamped photo names must NOT be read as frame counters:
+    the digits would produce a wildly non-uniform (even non-monotone)
+    timeline for the SE(3) spline.  Only counter-like sequences
+    (all-numbered, increasing, dense) use the parsed numbers."""
+    from casualhdrsplat_tpu.data.video import timestamps_from_names
+
+    # date-stamped photos: non-monotone, huge gaps -> ordinal 0,1,2
+    ts = timestamps_from_names(
+        ["IMG_20230401_123456.jpg", "IMG_20230402_091011.jpg",
+         "IMG_20230402_151617.jpg"], fps=1.0)
+    np.testing.assert_allclose(ts, [0.0, 1.0, 2.0])
+    # sparse unrelated ids (gap 1000x) -> ordinal
+    ts = timestamps_from_names(["a_1.png", "a_5000.png"], fps=1.0)
+    np.testing.assert_allclose(ts, [0.0, 1.0])
+    # counter with an SfM-dropped frame keeps the gap
+    ts = timestamps_from_names(
+        ["f_000.png", "f_001.png", "f_003.png"], fps=1.0)
+    np.testing.assert_allclose(ts, [0.0, 1.0, 3.0])
+
+
 def test_synthetic_video_fixture(rng):
     video = synthetic.make_casual_video(
         rng, n_gaussians=50, n_frames=4, n_virtual=3, size=24

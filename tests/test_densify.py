@@ -346,7 +346,8 @@ def test_screen_prune_gate():
     cfg = DensifyConfig(opacity_reset_interval=3000)
     assert not densify.screen_prune_active(3000, cfg)
     assert densify.screen_prune_active(3001, cfg)
-    # explicit start overrides (runs with opacity resets disabled)
+    # explicit start overrides (runs with opacity resets disabled);
+    # active AT the configured step, per the config docstring
     cfg = DensifyConfig(opacity_reset_interval=10**9, screen_prune_from=600)
-    assert not densify.screen_prune_active(600, cfg)
-    assert densify.screen_prune_active(601, cfg)
+    assert not densify.screen_prune_active(599, cfg)
+    assert densify.screen_prune_active(600, cfg)

@@ -48,6 +48,26 @@ def test_compact_stream_ids_keeps_per_tile_heads():
     np.testing.assert_array_equal(ids, [0, 1, 4, 5, 9, 10, 99, 99])
 
 
+def test_compact_stream_ids_budget_exceeds_stream():
+    """budget > len(s_gauss): chunk-rounding can push the stream budget
+    past N*mtpg (mtpg < stream_factor with N*mtpg not a chunk multiple);
+    BOTH cond branches must trace and pad with pad_id (regression: the
+    no-overflow prefix branch sliced s_gauss[:budget] and crashed)."""
+    s_gauss = jnp.arange(12, dtype=jnp.int32)
+    starts = jnp.asarray([0, 4, 9, 12], jnp.int32)
+    # budget 16 > total 12, nothing overflows -> identity prefix + pad
+    seg_c, starts_c = binning.waterfill_segments(starts[1:] - starts[:-1], 16)
+    ids = binning.compact_stream_ids(s_gauss, starts, starts_c, 16, pad_id=99)
+    np.testing.assert_array_equal(
+        ids, list(range(12)) + [99, 99, 99, 99]
+    )
+    # and the vmapped (unconditional) branch under the same shapes
+    ids_u = binning.compact_stream_ids(
+        s_gauss, starts, starts_c, 16, pad_id=99, unconditional=True
+    )
+    np.testing.assert_array_equal(ids_u, ids)
+
+
 def _project(cloud, cam, cfg):
     return project_gaussians(
         cloud.means3d, cloud.quats, cloud.scales, cam.viewmat,
