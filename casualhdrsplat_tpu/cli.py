@@ -35,9 +35,16 @@ def _build_cfg(args):
     return cfg
 
 
-def _make_trainer(cfg, checkpoint_path=None):
+def _make_trainer(cfg, checkpoint_path=None, require_checkpoint=False):
     from casualhdrsplat_tpu.train.trainer import Trainer
 
+    if require_checkpoint and not checkpoint_path:
+        # Without this, `render --checkpoint ""` (an empty shell var is the
+        # common way to hit it) silently renders a fresh random init.
+        raise SystemExit(
+            "this command renders/scores a trained model: pass "
+            "--checkpoint <out_dir/name/step_N>"
+        )
     t = Trainer(cfg)
     if checkpoint_path:
         t.load(checkpoint_path)
@@ -75,7 +82,7 @@ def cmd_eval(args):
 
     runtime.setup()
     cfg = _build_cfg(args)
-    t = _make_trainer(cfg, args.checkpoint)
+    t = _make_trainer(cfg, args.checkpoint, require_checkpoint=True)
     print(t.evaluate())
 
 
@@ -90,7 +97,7 @@ def cmd_render(args):
 
     runtime.setup()
     cfg = _build_cfg(args)
-    t = _make_trainer(cfg, args.checkpoint)
+    t = _make_trainer(cfg, args.checkpoint, require_checkpoint=True)
     os.makedirs(args.out, exist_ok=True)
     frames = (
         [int(f) for f in args.frames.split(",")]
@@ -190,7 +197,7 @@ def cmd_export(args):
 
     runtime.setup()
     cfg = _build_cfg(args)
-    t = _make_trainer(cfg, args.checkpoint)
+    t = _make_trainer(cfg, args.checkpoint, require_checkpoint=True)
     n = ckpt_mod.export_ply(args.out, t.params["gaussians"])
     print(f"wrote {n} Gaussians to {args.out}")
 
