@@ -107,3 +107,19 @@ def test_train_render_export(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     assert (tmp_path / "renders4" / "novel_0002.png").exists()
     assert (tmp_path / "renders4" / "path.gif").exists()
+
+
+def test_render_requires_checkpoint(tmp_path):
+    """render/eval/export without --checkpoint (or with an empty one, the
+    classic empty-shell-var mistake) must fail loudly instead of silently
+    rendering a fresh random init."""
+    for cmd in (["render", "--mode", "deblur", "--out", f"{tmp_path}/r"],
+                ["eval"],
+                ["export", "--out", f"{tmp_path}/g.ply"],
+                ["render", "--checkpoint", "", "--mode", "deblur",
+                 "--out", f"{tmp_path}/r2"]):
+        r = run_cli(cmd + ["data.source=synthetic"], str(tmp_path))
+        assert r.returncode != 0
+        assert "--checkpoint" in (r.stderr + r.stdout)
+        assert not (tmp_path / "r").exists()
+        assert not (tmp_path / "r2").exists()
