@@ -75,10 +75,16 @@ def main():
     ap.add_argument("--virtual-views", type=int, default=8)
     ap.add_argument("--out", default="QUALITY_r02.json")
     ap.add_argument("--render-dir", default="outputs/quality")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore an existing checkpoint/progress and "
+                         "restart from step 0 (default: resume — the TPU "
+                         "session wall-clock is shorter than a full run, "
+                         "so runs accumulate across sessions)")
     args = ap.parse_args()
 
     t_start = time.time()
-    if os.path.exists(args.out + ".progress"):
+    ckpt_root = os.path.abspath(os.path.join(args.render_dir, "ckpt"))
+    if args.fresh and os.path.exists(args.out + ".progress"):
         os.remove(args.out + ".progress")
     rng = np.random.default_rng(42)
     print("generating GT fixture...", flush=True)
@@ -171,6 +177,8 @@ def main():
     t = Trainer(cfg, ds)
     # COLMAP-on-blurry-frames initial poses are noisy: perturb the knots
     # so the run demonstrates JOINT pose estimation, not pose-given fit.
+    # (Applied before any resume-load: rot0/trans0 describe the same
+    # deterministic perturbed init on every launch.)
     pose_sigma = 0.002
     t.params["knot_deltas"] = pose_sigma * jax.random.normal(
         jax.random.PRNGKey(3), t.params["knot_deltas"].shape
@@ -181,6 +189,23 @@ def main():
 
     eval_idx = list(range(0, n, max(1, n // 6)))
     curve = []
+    if not args.fresh:
+        # Resume: the fixture is deterministic (seeded rng), so restoring
+        # {params, opt_state, adc, step} continues the SAME run.  The
+        # curve so far comes from the .progress JSONL the last launch
+        # appended to.
+        from casualhdrsplat_tpu.parallel.distributed import resume_or_start
+
+        resumed = resume_or_start(t, ckpt_root)
+        if resumed:
+            if os.path.exists(args.out + ".progress"):
+                with open(args.out + ".progress") as f:
+                    curve = [json.loads(ln) for ln in f if ln.strip()]
+                curve = [e for e in curve if e["step"] <= resumed]
+            print(f"resumed from step {resumed} "
+                  f"({len(curve)} eval points restored)", flush=True)
+        elif os.path.exists(args.out + ".progress"):
+            os.remove(args.out + ".progress")  # stale: no ckpt to match it
     renders_at = -1
     t_train = time.time()
     stop_file = os.path.join("outputs", "quality.stop")
@@ -285,6 +310,7 @@ def main():
             with open(args.out + ".progress", "a") as f:
                 f.write(json.dumps(entry) + "\n")
             write_report()
+            t.save(ckpt_root)  # resume point for the next TPU session
             if t.step % 2000 == 0:
                 dump_renders()
                 renders_at = t.step
