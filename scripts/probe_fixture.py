@@ -48,7 +48,7 @@ def probe(name, **kw):
         jnp.asarray(video.knots[2]), cam.fx, cam.fy, cam.cx, cam.cy,
         800, 800, near_plane=cfg.near_plane,
     )
-    _, _, seg_len = binning.sorted_stream(
+    _, _, seg_len, _ = binning.sorted_stream(
         proj.means2d, proj.radii, proj.depths, proj.valid,
         800, 800, 16, 16, cfg.max_tiles_per_gaussian,
     )

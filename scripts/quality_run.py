@@ -75,6 +75,22 @@ def main():
     ap.add_argument("--virtual-views", type=int, default=8)
     ap.add_argument("--out", default="QUALITY_r02.json")
     ap.add_argument("--render-dir", default="outputs/quality")
+    # Fixture blur severity: within-exposure motion scales with the
+    # exposure upper bound (run 7's (0.25, 1.0) => ~26 px max streak;
+    # (0.12, 0.5) probes at ~13 px / input-vs-sharp ~26 dB).
+    ap.add_argument("--exposure-lo", type=float, default=0.25)
+    ap.add_argument("--exposure-hi", type=float, default=1.0)
+    # Binning regime: per-view (exact, expensive — run 7) vs shared
+    # (~6x cheaper walk, depth order approximated across virtual views;
+    # needs the Chebyshev-inflated stream budget to fit, so only viable
+    # when within-exposure motion is moderate — see outputs/quality/README).
+    ap.add_argument("--shared-binning", action="store_true")
+    ap.add_argument("--stream-factor", type=int, default=12)
+    ap.add_argument("--max-minutes", type=float, default=0.0,
+                    help="cooperative wall-clock stop (0 = unbounded): "
+                         "checked between steps like the stop file, so the "
+                         "report/checkpoint are still written")
+    ap.add_argument("--run-label", default="")
     ap.add_argument("--fresh", action="store_true",
                     help="ignore an existing checkpoint/progress and "
                          "restart from step 0 (default: resume — the TPU "
@@ -104,7 +120,7 @@ def main():
         n_virtual=16,
         size=args.size,
         angle_span=0.8,
-        exposure_range=(0.25, 1.0),
+        exposure_range=(args.exposure_lo, args.exposure_hi),
         crf_gamma=2.2,
         hdr_max=3.0,
         extent=2.2,
@@ -148,7 +164,8 @@ def main():
     # chunk=128 would double it and re-overflow SMEM (the run-2 OOM).
     cfg.model.rasterize = config.RasterizeConfig(
         tile_h=16, tile_w=16, tile_capacity=1024, max_tiles_per_gaussian=32,
-        chunk=256, backend="auto", stream_factor=12, shared_binning=False,
+        chunk=256, backend="auto", stream_factor=args.stream_factor,
+        shared_binning=args.shared_binning,
     )
     cfg.densify.enabled = True
     cfg.densify.start_iter = 500
@@ -235,6 +252,12 @@ def main():
         final = curve[-1]
         report = {
             "round": 2,
+            "run_label": args.run_label,
+            "fixture": {
+                "exposure_range": [args.exposure_lo, args.exposure_hi],
+                "shared_binning": bool(args.shared_binning),
+                "stream_factor": args.stream_factor,
+            },
             "scale": {
                 "image": [args.size, args.size],
                 "frames": n,
@@ -316,6 +339,10 @@ def main():
                 renders_at = t.step
         if os.path.exists(stop_file):
             print("stop file seen — finishing early", flush=True)
+            break
+        if args.max_minutes and (time.time() - t_start) > args.max_minutes * 60:
+            print(f"max-minutes ({args.max_minutes}) reached — finishing "
+                  "early", flush=True)
             break
 
     if not curve:  # stopped before the first eval
