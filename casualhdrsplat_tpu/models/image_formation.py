@@ -51,6 +51,14 @@ def build_scene(dataset, cfg: ModelConfig) -> SceneStatic:
     from the per-frame SfM poses (SURVEY.md §3.5 dataparser contract)."""
     poses = jnp.asarray(dataset.viewmats)
     knots, t0, dt = spline.knots_for_frames(poses, pad=2)
+    if cfg.knots_per_frame > 1:
+        # sub-frame control points: resample the frame-rate init onto the
+        # dense grid (spline.dense_grid) so fast within-exposure motion is
+        # representable; the optimizer refines every dense knot.
+        knots, t0, dt = spline.resample_knots(
+            knots, t0, dt, poses.shape[0], cfg.knots_per_frame,
+            mode=cfg.spline_mode,
+        )
     ts = jnp.asarray(dataset.timestamps)
     # knots_for_frames assumes unit frame spacing starting at 0; rescale
     # the knot clock to the dataset's timestamps.

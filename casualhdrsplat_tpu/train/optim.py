@@ -50,6 +50,22 @@ def _exp_sched(init: float, final: float, steps: int):
     )
 
 
+def _scale_se3_trans(scale: float):
+    """Multiply the translation half (columns 3:6) of [M,6] knot-delta
+    updates by `scale` — a per-half learning rate for the pose group
+    (rotation-dominated blur observes translation weakly; see
+    OptimConfig.pose_trans_lr_scale)."""
+
+    def update_fn(updates, state, params=None):
+        del params
+        return (
+            jax.tree.map(lambda u: u.at[..., 3:].multiply(scale), updates),
+            state,
+        )
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update_fn)
+
+
 def make_optimizer(cfg: OptimConfig, scene_extent: float = 1.0):
     """Returns an optax GradientTransformation over the full param pytree."""
     means_sched = _exp_sched(
@@ -57,8 +73,21 @@ def make_optimizer(cfg: OptimConfig, scene_extent: float = 1.0):
         cfg.means_lr_final * scene_extent,
         cfg.max_steps,
     )
-    pose_sched = _exp_sched(cfg.pose_lr_init, cfg.pose_lr_final, cfg.max_steps)
+    pose_sched = _exp_sched(
+        cfg.pose_lr_init, cfg.pose_lr_final,
+        max(cfg.max_steps - cfg.pose_warmup_steps, 1),
+    )
+    if cfg.pose_warmup_steps > 0 and cfg.pose_lr_init > 0.0:
+        pose_sched = optax.join_schedules(
+            [optax.constant_schedule(0.0), pose_sched],
+            [cfg.pose_warmup_steps],
+        )
     adam = lambda lr: optax.adam(lr, b1=0.9, b2=0.999, eps=1e-15)
+    pose_opt = adam(pose_sched)
+    if cfg.pose_trans_lr_scale != 1.0:
+        pose_opt = optax.chain(
+            pose_opt, _scale_se3_trans(cfg.pose_trans_lr_scale)
+        )
     groups = {
         "means": adam(means_sched),
         "quats": adam(cfg.quats_lr),
@@ -66,7 +95,7 @@ def make_optimizer(cfg: OptimConfig, scene_extent: float = 1.0):
         "opacities": adam(cfg.opacities_lr),
         "sh_dc": adam(cfg.sh_dc_lr),
         "sh_rest": adam(cfg.sh_dc_lr / cfg.sh_rest_lr_div),
-        "pose": adam(pose_sched),
+        "pose": pose_opt,
         "exposure": adam(cfg.exposure_lr),
         "crf": adam(cfg.crf_lr),
         "frozen": optax.set_to_zero(),

@@ -144,24 +144,23 @@ def main():
     gt_gen_s = time.time() - t_start
     print(f"fixture: {n} frames @ {args.size}^2, {gt_gen_s:.0f}s", flush=True)
 
-    cfg = config.TrainConfig(name="quality-r02")
+    cfg = config.TrainConfig(name="quality-r03")
     cfg.model.max_gaussians = args.capacity
     cfg.model.sh_degree = 3
     cfg.model.num_virtual_views = args.virtual_views
     cfg.model.crf.kind = "mlp"
-    # PER-VIEW binning (shared_binning=False), run-7 retune.  Run 6 used
-    # shared binning: under this fixture's heavy within-exposure motion
-    # (~26 px) the Chebyshev radius inflation multiplied binning demand
-    # ~5x, the shared stream (9x131072 = 1.18M rows) overflowed by ~2x,
-    # and HALF of every step's contributions were waterfill-dropped — the
-    # fit plateaued at 13 dB.  Per-view binning is both oracle-EXACT and
-    # cheaper here: run 4 measured ~0.94M rows/view demand at full 131k
-    # capacity, so stream_factor=12 (1.57M rows/view) gives ~65% headroom
-    # while the kernel walks 8x1.57M = 12.6M rows vs 8x2.6M+ for an
-    # inflation-sized shared stream.
-    # chunk=256 keeps the SMEM chunk-metadata count at the known-good 69k
-    # (c_budget = 1.57M/256 + 2500 tiles + 1 = 8.6k per view x 8 views);
-    # chunk=128 would double it and re-overflow SMEM (the run-2 OOM).
+    # Binning regime is flag-driven (--shared-binning / --stream-factor);
+    # both regimes were tuned against at-spec probes in round 2:
+    # - PER-VIEW (exact): run 7 measured ~0.94M rows/view demand at full
+    #   131k capacity, so stream_factor=12 (1.57M rows/view) leaves ~65%
+    #   headroom; the kernel walks views x 1.57M rows.
+    # - SHARED (default for moderate blur): one Chebyshev-inflated stream
+    #   for all views; viable only when within-exposure motion is
+    #   moderate (run 6: at ~26 px motion the inflation multiplied demand
+    #   ~5x and HALF of all contributions were waterfill-dropped).
+    # chunk=256 keeps the SMEM chunk-metadata count bounded
+    # (c_budget = rows/256 + tiles + 1 per stream); chunk=128 doubles it
+    # and re-overflows SMEM at 131k capacity (the run-2 OOM).
     cfg.model.rasterize = config.RasterizeConfig(
         tile_h=16, tile_w=16, tile_capacity=1024, max_tiles_per_gaussian=32,
         chunk=256, backend="auto", stream_factor=args.stream_factor,
@@ -204,6 +203,21 @@ def main():
         video.knots, imf.effective_knots(t.params, t.scene)
     )
 
+    # Fixture provenance guard (ADVICE r2): the checkpoint under ckpt_root
+    # is only resumable into the SAME fixture/raster regime.  Persist the
+    # fixture-shaping knobs beside the checkpoint; on resume, refuse a
+    # mismatch instead of silently continuing a different run under the
+    # current args (which write_report would then misattribute).
+    fixture_knobs = {
+        "size": args.size, "gt_gaussians": args.gt_gaussians,
+        "frames": args.frames, "capacity": args.capacity,
+        "virtual_views": args.virtual_views,
+        "exposure_range": [args.exposure_lo, args.exposure_hi],
+        "shared_binning": bool(args.shared_binning),
+        "stream_factor": args.stream_factor,
+    }
+    fixture_path = os.path.join(ckpt_root, "fixture.json")
+
     eval_idx = list(range(0, n, max(1, n // 6)))
     curve = []
     if not args.fresh:
@@ -213,6 +227,16 @@ def main():
         # appended to.
         from casualhdrsplat_tpu.parallel.distributed import resume_or_start
 
+        if os.path.exists(fixture_path):
+            with open(fixture_path) as f:
+                saved = json.load(f)
+            if saved != fixture_knobs:
+                raise SystemExit(
+                    f"checkpoint at {ckpt_root} was trained with fixture "
+                    f"knobs {saved}, but this launch asks for "
+                    f"{fixture_knobs} — pass --fresh to restart, or match "
+                    "the original flags to resume"
+                )
         resumed = resume_or_start(t, ckpt_root)
         if resumed:
             if os.path.exists(args.out + ".progress"):
@@ -224,8 +248,17 @@ def main():
         elif os.path.exists(args.out + ".progress"):
             os.remove(args.out + ".progress")  # stale: no ckpt to match it
     renders_at = -1
+    saved_at = t.step
     t_train = time.time()
     stop_file = os.path.join("outputs", "quality.stop")
+
+    def save_ckpt():
+        nonlocal saved_at
+        t.save(ckpt_root)
+        os.makedirs(ckpt_root, exist_ok=True)
+        with open(fixture_path, "w") as f:
+            json.dump(fixture_knobs, f, indent=1)
+        saved_at = t.step
 
     def write_report():
         """Full report from the curve so far — called after EVERY eval so
@@ -333,7 +366,7 @@ def main():
             with open(args.out + ".progress", "a") as f:
                 f.write(json.dumps(entry) + "\n")
             write_report()
-            t.save(ckpt_root)  # resume point for the next TPU session
+            save_ckpt()  # resume point for the next TPU session
             if t.step % 2000 == 0:
                 dump_renders()
                 renders_at = t.step
@@ -345,6 +378,11 @@ def main():
                   "early", flush=True)
             break
 
+    # Early-stop paths break mid-eval-interval: checkpoint HERE so the
+    # steps since the last 1000-step boundary are not discarded (ADVICE
+    # r2 — the help text promises the checkpoint is written).
+    if t.step != saved_at:
+        save_ckpt()
     if not curve:  # stopped before the first eval
         return
     write_report()

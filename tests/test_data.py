@@ -266,3 +266,58 @@ def test_colmap_loader_undistorts(tmp_path):
     raw = dataset._load_image(str(img_dir / "frame_000.png"))
     assert not np.allclose(ds.images[0], raw)
     np.testing.assert_allclose(ds.images[0][24, 32], raw[24, 32], atol=0.03)
+
+
+def test_structured_cloud_is_piecewise_smooth():
+    from casualhdrsplat_tpu.data import synthetic
+
+    rng = np.random.default_rng(0)
+    cloud = synthetic.structured_cloud(rng, 4000, extent=2.2, hdr_max=3.0)
+    n = cloud.means3d.shape[0]
+    assert abs(n - 4000) < 500
+    for leaf in cloud:
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    # spatial color correlation: nearest-neighbor color distance must be
+    # far below the random-pair distance (confetti has ratio ~1)
+    pts = np.asarray(cloud.means3d)
+    col = np.asarray(cloud.colors)
+    sub = np.arange(0, n, 7)[:400]
+    d2 = ((pts[sub, None] - pts[None]) ** 2).sum(-1)  # nn over ALL points
+    d2[np.arange(len(sub)), sub] = np.inf
+    nn = d2.argmin(1)
+    nn_dist = np.linalg.norm(col[sub] - col[nn], axis=1).mean()
+    rand = np.linalg.norm(col[sub] - col[np.roll(sub, 17)], axis=1).mean()
+    # (confetti scores ~1.0 here; at 4k splats the mid-frequency texture
+    # sits near the sampling density, so the correlation is moderate)
+    assert nn_dist < 0.6 * rand, (nn_dist, rand)
+    # the HDR window exists: some radiance above the LDR clip
+    assert (col.max(-1) > 1.5).sum() > 10
+
+
+def test_casual_video_shake_produces_blur():
+    from casualhdrsplat_tpu.data import synthetic
+    from casualhdrsplat_tpu.models import losses
+    import jax.numpy as jnp
+
+    kw = dict(
+        n_gaussians=300, n_frames=3, n_virtual=5, size=48,
+        angle_span=0.3, exposure_range=(0.3, 0.6), crf_gamma=2.2,
+        extent=1.0, knots_per_frame=3,
+    )
+    rng = np.random.default_rng(4)
+    still = synthetic.make_casual_video(rng, shake_rot=0.0, **kw)
+    rng = np.random.default_rng(4)
+    shaken = synthetic.make_casual_video(
+        rng, shake_rot=0.15, shake_trans=0.05, **kw
+    )
+
+    def in_psnr(v):
+        return float(np.mean([
+            losses.psnr(v.images[i], v.sharp_ldr[i])
+            for i in range(v.images.shape[0])
+        ]))
+
+    # shake must measurably blur the inputs vs the mid-exposure sharp GT
+    assert in_psnr(shaken) < in_psnr(still) - 3.0, (in_psnr(shaken), in_psnr(still))
+    # dense GT knots live on the dense_grid: (F-1)*k + ceil(k) + 2*pad + 1
+    assert shaken.knots.shape[0] == (3 - 1) * 3 + 3 + 4 + 1

@@ -1,0 +1,68 @@
+"""Optimizer schedule/group tests (SURVEY.md C17): pose warmup freeze and
+the per-half translation lr scale added for joint-stability (VERDICT r2
+Missing #2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from casualhdrsplat_tpu.config import OptimConfig
+from casualhdrsplat_tpu.models import crf as crf_mod
+from casualhdrsplat_tpu.train import optim
+from casualhdrsplat_tpu.config import CRFConfig
+
+
+def tiny_params():
+    return {
+        "gaussians": {
+            "means": jnp.zeros((4, 3)),
+            "quats": jnp.zeros((4, 4)),
+            "log_scales": jnp.zeros((4, 3)),
+            "opacity_logit": jnp.zeros((4,)),
+            "sh_dc": jnp.zeros((4, 3)),
+            "sh_rest": jnp.zeros((4, 8, 3)),
+            "alive": jnp.ones((4,), bool),
+        },
+        "knot_deltas": jnp.zeros((5, 6)),
+        "log_exposures": jnp.zeros((3,)),
+        "crf": crf_mod.create(CRFConfig(kind="identity"), jax.random.PRNGKey(0)),
+    }
+
+
+def ones_like_grads(params):
+    return jax.tree.map(
+        lambda p: jnp.ones_like(p) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        params,
+    )
+
+
+def test_pose_warmup_freezes_then_releases():
+    cfg = OptimConfig(pose_warmup_steps=3, max_steps=10)
+    opt = optim.make_optimizer(cfg)
+    params = tiny_params()
+    state = opt.init(params)
+    grads = ones_like_grads(params)
+    for step in range(5):
+        updates, state = opt.update(grads, state, params)
+        pose_u = np.asarray(updates["knot_deltas"])
+        if step < 3:
+            assert np.all(pose_u == 0.0), (step, pose_u)
+            # ...while other groups still move
+            assert np.any(np.asarray(updates["gaussians"]["means"]) != 0.0)
+        else:
+            assert np.any(pose_u != 0.0), step
+
+
+def test_pose_trans_lr_scale_halves_translation_only():
+    cfg = OptimConfig(pose_trans_lr_scale=0.25)
+    opt = optim.make_optimizer(cfg)
+    cfg_ref = OptimConfig()
+    opt_ref = optim.make_optimizer(cfg_ref)
+    params = tiny_params()
+    grads = ones_like_grads(params)
+    u, _ = opt.update(grads, opt.init(params), params)
+    u_ref, _ = opt_ref.update(grads, opt_ref.init(params), params)
+    got = np.asarray(u["knot_deltas"])
+    ref = np.asarray(u_ref["knot_deltas"])
+    np.testing.assert_allclose(got[:, :3], ref[:, :3], rtol=1e-6)
+    np.testing.assert_allclose(got[:, 3:], 0.25 * ref[:, 3:], rtol=1e-6)

@@ -101,3 +101,47 @@ def test_knots_for_frames(rng):
     assert knots.shape == (9, 4, 4)
     out = spline.cubic_bspline_interpolation(knots, t0, dt, jnp.array([0.0]))
     assert np.all(np.isfinite(out))
+
+
+def test_dense_grid_covers_frames_and_tail():
+    times, t0, dt = spline.dense_grid(num_frames=5, per_frame=3, pad=2)
+    times = np.asarray(times)
+    assert dt == 1.0 / 3.0 and t0 == -2.0 / 3.0
+    np.testing.assert_allclose(times[0], t0)
+    np.testing.assert_allclose(np.diff(times), dt, atol=1e-6)
+    # covers the last frame time plus a full exposure overhang, with the
+    # cubic's 2-knot margin on both sides
+    assert times[2] <= 0.0 and times[-3] >= 5.0 - 1.0 + 1.0
+
+
+def test_resample_knots_reproduces_smooth_trajectory(rng):
+    # A gentle trajectory: the dense re-knotted spline should evaluate
+    # close to the original at the frame times and in between.
+    knots = make_knots(rng, m=10, scale=0.05)
+    frames = knots[2:8]  # pretend these are 6 per-frame poses
+    coarse, t0, dt = spline.knots_for_frames(frames, pad=2)
+    dense, t0d, dtd = spline.resample_knots(coarse, t0, dt, 6, per_frame=4)
+    q = jnp.linspace(0.0, 5.0, 21)
+    a = spline.cubic_bspline_interpolation(coarse, t0, dt, q)
+    b = spline.cubic_bspline_interpolation(dense, t0d, dtd, q)
+    # positions within a small fraction of the inter-knot motion (re-
+    # knotting a cumulative B-spline from curve samples smooths slightly)
+    np.testing.assert_allclose(a, b, atol=3e-2)
+
+
+def test_dense_knots_represent_subframe_motion(rng):
+    # A fast wiggle with period ~1/3 frame is invisible to a 1-knot-per-
+    # frame grid but representable on a 3-per-frame grid: check the dense
+    # spline reproduces poses sampled WITHIN one frame interval.
+    times, t0, dt = spline.dense_grid(num_frames=4, per_frame=3, pad=2)
+    m = times.shape[0]
+    deltas = jnp.asarray(rng.normal(size=(m, 6)) * 0.05, jnp.float32)
+    base = jnp.broadcast_to(jnp.eye(4), (m, 4, 4))
+    knots = jax.vmap(lambda b, d: b @ lie.se3_exp(d))(base, deltas)
+    q = jnp.array([0.1, 0.45, 0.8])
+    out = spline.cubic_bspline_interpolation(knots, t0, dt, q)
+    # the three poses inside frame 0 must differ measurably from each
+    # other (sub-frame motion) — a frame-rate grid would collapse them
+    d01 = float(jnp.max(jnp.abs(out[0] - out[1])))
+    d12 = float(jnp.max(jnp.abs(out[1] - out[2])))
+    assert d01 > 1e-3 and d12 > 1e-3

@@ -116,3 +116,17 @@ def test_hdr_rgbe_round_trip(tmp_path):
     assert np.all(np.abs(back - img) <= bound)
     with open(path, "rb") as f:
         assert f.read(10) == b"#?RADIANCE"
+
+
+def test_dense_knot_grid_trains(tiny_dataset, tmp_path):
+    # knots_per_frame > 1: build_scene resamples the frame-rate init onto
+    # the sub-frame grid; the whole joint step must remain jittable.
+    cfg = tiny_cfg(knots_per_frame=3)
+    cfg.out_dir = str(tmp_path)
+    t = Trainer(cfg, tiny_dataset)
+    f = tiny_dataset.timestamps.shape[0]
+    assert t.params["knot_deltas"].shape[0] == (f - 1) * 3 + 3 + 4 + 1
+    first = [t.run_step()["loss"] for _ in range(5)]
+    for _ in range(25):
+        last = t.run_step()
+    assert last["loss"] < np.mean(first), (first, last)
