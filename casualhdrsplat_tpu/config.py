@@ -70,6 +70,15 @@ class ModelConfig:
     # Number of virtual sharp images averaged into one blurred frame.
     num_virtual_views: int = 8
     spline_mode: str = "cubic"  # "linear" | "cubic"
+    # Initial exposure estimate as a FRACTION of the median frame
+    # interval: log_exposures init to log(frac * median dt) when > 0
+    # (0 keeps the legacy init of log dt = 0, i.e. a full frame
+    # interval).  The exposure time is not a pure gauge: it also spans
+    # the BLUR WINDOW on the trajectory, so starting it near a plausible
+    # shutter (~0.5x the frame interval for casual auto-exposure video)
+    # matters — a window several times too long renders blur the scene
+    # cannot explain and the joint fit stalls (round-3 probe finding).
+    exposure_init_frac: float = 0.0
     # Trajectory control points per frame interval.  1 = the classic
     # knot-per-frame grid (knots_for_frames).  >1 = sub-frame control
     # points (spline.dense_grid / resample_knots): required to REPRESENT

@@ -192,8 +192,10 @@ def make_synthetic_dataset(seed: int = 0, **kwargs) -> Dataset:
     rng = np.random.default_rng(seed)
     video = synthetic.make_casual_video(rng, **kwargs)
     n = video.images.shape[0]
+    # frame-time poses: on the dense grid frame i sits at knot 2 + i*k
+    kpf = int(kwargs.get("knots_per_frame", 1))
     mats = np.asarray(
-        [np.asarray(video.knots[2 + i]) for i in range(n)], np.float32
+        [np.asarray(video.knots[2 + i * kpf]) for i in range(n)], np.float32
     )
     cam = video.camera
     pts = np.asarray(video.cloud.means3d)

@@ -349,20 +349,23 @@ def make_casual_video(
     else:
         knots, t0, dt = spline.knots_for_frames(poses, pad=2)
     if shake_rot > 0.0 or shake_trans > 0.0:
-        # Handheld shake: per-knot SE(3) jitter composed in the CAMERA
-        # frame (knot @ exp(xi) — the same right-composition convention as
-        # image_formation.effective_knots).  A look-at orbit alone pivots
-        # about the scene center, so central content never blurs; real
-        # casual-video blur is camera-rotation-dominated and covers the
-        # whole frame.  Knot-level jitter makes the spline wander WITHIN
-        # exposure windows too (screen streak ~ focal * shake_rot).
+        # Handheld shake: per-knot SE(3) jitter LEFT-composed onto the
+        # world->cam knot (exp(xi) @ knot) — a perturbation in the CAMERA
+        # frame: the orientation wobbles by omega (screen streak ~ focal *
+        # |omega|) and the camera center drifts by ~|v|, independent of
+        # the orbit radius.  (Right-composition would perturb in the WORLD
+        # frame: rotation about the world origin swings the camera center
+        # by |omega| * radius — a rig on a crane arm, not a shaky hand.)
+        # A look-at orbit alone pivots about the scene center, so central
+        # content never blurs; camera-frame rotation blurs the whole
+        # frame, like real casual footage.
         m = int(knots.shape[0])
         xi = np.concatenate(
             [rng.normal(0.0, max(shake_rot, 1e-12), (m, 3)),
              rng.normal(0.0, max(shake_trans, 1e-12), (m, 3))], axis=-1,
         ).astype(np.float32)
         knots = jnp.einsum(
-            "nij,njk->nik", knots, lie.se3_exp_batch(jnp.asarray(xi))
+            "nij,njk->nik", lie.se3_exp_batch(jnp.asarray(xi)), knots
         )
 
     # The unified image-formation model uses ONE quantity per frame: the

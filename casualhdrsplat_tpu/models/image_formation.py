@@ -88,12 +88,17 @@ def init_params(
     """The full learnable pytree: G_theta, knot deltas, log dt_i, F_theta."""
     num_frames = scene.timestamps.shape[0]
     num_knots = scene.base_knots.shape[0]
+    if cfg.exposure_init_frac > 0.0 and num_frames > 1:
+        med_dt = jnp.median(jnp.diff(scene.timestamps))
+        log_e0 = jnp.log(cfg.exposure_init_frac * med_dt)
+    else:
+        log_e0 = jnp.asarray(0.0)
     return {
         "gaussians": gauss_mod.create(
             points_xyz, points_rgb, cfg.max_gaussians, cfg.sh_degree
         ),
         "knot_deltas": jnp.zeros((num_knots, 6), jnp.float32),
-        "log_exposures": jnp.zeros((num_frames,), jnp.float32),
+        "log_exposures": jnp.full((num_frames,), log_e0, jnp.float32),
         "crf": crf_mod.create(cfg.crf, rng_key),
     }
 
@@ -116,6 +121,57 @@ def poses_at(params: Params, scene: SceneStatic, times: jnp.ndarray, cfg: ModelC
 
 def exposure_of(params: Params, frame_id) -> jnp.ndarray:
     return jnp.exp(params["log_exposures"][frame_id])
+
+
+def shared_binning_demand(
+    params: Params, scene: SceneStatic, frame_id, cfg: ModelConfig
+):
+    """Binning-pressure probe for one frame (host-side, jittable body):
+    returns (shared_demand, max_per_view_demand, stream_budget) in
+    intersection rows.
+
+    shared_demand uses the shared-binning reference position + Chebyshev-
+    inflated radii (exactly the footprint _rasterize_packed_shared bins);
+    when within-exposure motion is large the inflation multiplies demand
+    past the budget and HALF the scene can silently waterfill away (run 6
+    failure, outputs/quality/README.md) — the trainer compares these
+    numbers at startup and falls back to per-view binning loudly."""
+    from casualhdrsplat_tpu.ops import binning
+    from casualhdrsplat_tpu.ops.projection import cull_invisible, project_gaussians
+
+    r = cfg.rasterize
+    n_virt = cfg.num_virtual_views
+    t_i = scene.timestamps[frame_id]
+    dt = exposure_of(params, frame_id)
+    t_k = spline.sample_virtual_times(t_i, dt, n_virt)
+    viewmats = poses_at(params, scene, t_k, cfg)
+    act = gauss_mod.activate(params["gaussians"])
+
+    def project_view(vm):
+        proj = project_gaussians(
+            act.means3d, act.quats, act.scales, vm, scene.fx, scene.fy,
+            scene.cx, scene.cy, scene.width, scene.height,
+            near_plane=r.near_plane, antialias=r.antialias,
+        )
+        return cull_invisible(proj, act.opacities)
+
+    projs = jax.vmap(project_view)(viewmats)
+    validf = projs.valid.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(validf, axis=0), 1.0)
+    ref_m2d = jnp.sum(projs.means2d * validf[..., None], axis=0) / denom[:, None]
+    cheb = jnp.max(jnp.abs(projs.means2d - ref_m2d[None]), axis=-1)
+    r_shared = jnp.max(jnp.where(projs.valid, cheb + projs.radii, 0.0), axis=0)
+    valid_any = jnp.any(projs.valid, axis=0)
+
+    args = (scene.width, scene.height, r.tile_h, r.tile_w,
+            r.max_tiles_per_gaussian)
+    shared = binning.tile_demand(ref_m2d, r_shared, valid_any, *args)
+    per_view = jax.vmap(
+        lambda m2d, rad, val: binning.tile_demand(m2d, rad, val, *args)
+    )(projs.means2d, projs.radii, projs.valid)
+    n = act.means3d.shape[0]
+    budget = min(n * r.max_tiles_per_gaussian, r.stream_factor * n)
+    return shared, jnp.max(per_view), jnp.asarray(budget, jnp.int32)
 
 
 class FrameRender(NamedTuple):
@@ -230,13 +286,36 @@ def render_deblurred(
     cfg: ModelConfig,
     hdr_output=False,
     sh_degree: Optional[int] = None,
+    exposure: Optional[jnp.ndarray] = None,
 ):
     """Deblur a training frame (teaser.png c.2): single sharp render at the
-    mid-exposure pose, tone-mapped once — no blur average."""
-    t_mid = scene.timestamps[frame_id] + 0.5 * exposure_of(params, frame_id)
+    mid-exposure pose, tone-mapped once — no blur average.
+
+    `exposure` overrides the frame's learned exposure — used by the
+    held-out novel-view evaluation, where the frame's own log_exposures
+    entry never received gradients and the honest estimate is an
+    interpolation of neighboring TRAIN frames (SURVEY.md §6 headline
+    metric; VERDICT r2 Weak #5)."""
+    dt = exposure_of(params, frame_id) if exposure is None else exposure
+    t_mid = scene.timestamps[frame_id] + 0.5 * dt
     viewmat = poses_at(params, scene, jnp.array([t_mid]), cfg)[0]
     return render_pose(
         params, scene, viewmat, cfg,
-        exposure=exposure_of(params, frame_id), hdr_output=hdr_output,
+        exposure=dt, hdr_output=hdr_output,
         sh_degree=sh_degree,
     )
+
+
+def interpolated_log_exposure(
+    params: Params, timestamps, train_indices, frame_id: int
+) -> float:
+    """Host-side: log-exposure estimate for a held-out frame by linear
+    interpolation (in time) of the nearest surrounding train frames'
+    LEARNED log exposures (clamped at the ends)."""
+    import numpy as np
+
+    ts = np.asarray(timestamps)
+    le = np.asarray(params["log_exposures"])
+    tr = np.asarray(sorted(train_indices))
+    t = float(ts[frame_id])
+    return float(np.interp(t, ts[tr], le[tr]))

@@ -175,6 +175,32 @@ def sorted_stream(
     return s_gauss, starts, seg_len, clipped
 
 
+def tile_demand(
+    means2d: jnp.ndarray,
+    radii: jnp.ndarray,
+    valid: jnp.ndarray,
+    width: int,
+    height: int,
+    tile_h: int,
+    tile_w: int,
+    max_tiles_per_gaussian: int,
+) -> jnp.ndarray:
+    """Total intersection-stream rows this set of footprints demands —
+    sum over Gaussians of bbox tiles after the mtpg clamp.  The cheap
+    (sort-free) half of sorted_stream's accounting: used by the
+    shared-binning self-guard to compare Chebyshev-inflated demand
+    against the stream budget BEFORE committing to a compiled regime."""
+    ntx, nty = tile_grid(width, height, tile_h, tile_w)
+    mx, my, r = means2d[:, 0], means2d[:, 1], radii
+    tx0 = jnp.clip(jnp.floor((mx - r) / tile_w).astype(jnp.int32), 0, ntx - 1)
+    tx1 = jnp.clip(jnp.floor((mx + r) / tile_w).astype(jnp.int32), 0, ntx - 1)
+    ty0 = jnp.clip(jnp.floor((my - r) / tile_h).astype(jnp.int32), 0, nty - 1)
+    ty1 = jnp.clip(jnp.floor((my + r) / tile_h).astype(jnp.int32), 0, nty - 1)
+    area = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    area = jnp.minimum(area, max_tiles_per_gaussian)
+    return jnp.sum(jnp.where(valid, area, 0))
+
+
 def assign_tiles_arrays(
     means2d: jnp.ndarray,
     radii: jnp.ndarray,

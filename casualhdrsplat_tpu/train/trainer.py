@@ -66,12 +66,65 @@ class Trainer:
                 self.opt_state, self.params, self.mesh
             )
         self.adc = densify_mod.AdcState.zero(cfg.model.max_gaussians)
+        self._init_log_exposures = jnp.asarray(self.params["log_exposures"])
+        self._guard_shared_binning()
         self.images = jnp.asarray(self.dataset.images)
         self.step = 0
         self.key = jax.random.PRNGKey(cfg.seed + 1)
         self._rng = np.random.default_rng(cfg.seed + 2)
         self.logger: Optional[metrics_mod.MetricsLogger] = None
         self._image_diag = float(np.hypot(self.dataset.width, self.dataset.height))
+
+    def _guard_shared_binning(self) -> None:
+        """Startup self-guard (VERDICT r2 next-step 6): shared binning's
+        Chebyshev radius inflation can multiply binning demand past the
+        stream budget when within-exposure motion is large — the run then
+        silently waterfills away a large fraction of every step's
+        contributions and the fit plateaus (run 6).  Measure the inflated
+        demand on a mid-sequence frame BEFORE compiling the train step and
+        fall back to exact per-view binning, loudly, if it does not fit."""
+        r = self.cfg.model.rasterize
+        if not (r.packed and r.shared_binning
+                and self.cfg.model.num_virtual_views > 1
+                and self.cfg.model.optimize_poses):
+            return
+        probe = jax.jit(
+            lambda p, s, f: imf.shared_binning_demand(p, s, f, self.cfg.model)
+        )
+        # max over frames: within-exposure motion varies along the video
+        # (end segments of the padded spline move least), so one frame
+        # under-estimates; the jit compiles once, frames are executions.
+        shared = per_view = 0
+        for f in range(self.dataset.timestamps.shape[0]):
+            sh, pv, budget = probe(self.params, self.scene, jnp.asarray(f))
+            shared, per_view = max(shared, int(sh)), max(per_view, int(pv))
+        budget = int(budget)
+        if shared <= budget:
+            return
+        if per_view <= budget:
+            print(
+                f"WARNING: shared binning disabled — motion-inflated "
+                f"binning demand ({shared} rows) exceeds the stream "
+                f"budget ({budget}); exact per-view binning fits "
+                f"({per_view} rows/view) and is used instead. Raise "
+                f"model.rasterize.stream_factor to keep shared binning "
+                f"(docs/TUNING.md).",
+                flush=True,
+            )
+            import dataclasses
+
+            self.cfg.model.rasterize = dataclasses.replace(
+                r, shared_binning=False
+            )
+        else:
+            print(
+                f"WARNING: binning demand exceeds the stream budget in "
+                f"BOTH regimes (shared {shared}, per-view {per_view}, "
+                f"budget {budget} rows) — training will waterfill-drop "
+                f"contributions. Raise model.rasterize.stream_factor or "
+                f"shrink footprints (docs/TUNING.md).",
+                flush=True,
+            )
 
     # -- jitted programs ---------------------------------------------------
 
@@ -105,8 +158,11 @@ class Trainer:
             )
             loss = photo
             if cfg.model.optimize_exposure:
+                # gauge anchor at the INIT estimate (not log dt = 0: with
+                # exposure_init_frac set, init already encodes the
+                # plausible-shutter prior)
                 loss = loss + cfg.loss.exposure_prior_weight * losses.exposure_prior(
-                    p["log_exposures"], jnp.zeros_like(p["log_exposures"])
+                    p["log_exposures"], self._init_log_exposures
                 )
             if cfg.model.crf.kind == "mlp":
                 loss = loss + cfg.loss.crf_smoothness_weight * crf_mod.smoothness_prior(
@@ -325,6 +381,22 @@ class Trainer:
         )
 
     @functools.partial(jax.jit, static_argnames=("self", "sh_degree"))
+    def _eval_render_novel(self, params, frame_id, exposure, sh_degree):
+        """Held-out novel-view render: deblurred single-pose render at an
+        EXPLICIT exposure (interpolated from neighboring train frames —
+        the held-out frame's own exposure entry never trained)."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            params = jax.tree.map(lambda x: jax.sharding.reshard(x, rep), params)
+        ldr, _, _ = imf.render_deblurred(
+            params, self.scene, frame_id, self.cfg.model,
+            sh_degree=sh_degree, exposure=exposure,
+        )
+        return ldr
+
+    @functools.partial(jax.jit, static_argnames=("self", "sh_degree"))
     def _eval_render_deblurred(self, params, frame_id, sh_degree):
         if self.mesh is not None:
             # one all-gather of the store per eval render: the deblurred
@@ -381,6 +453,32 @@ class Trainer:
             "eval_ssim": float(np.mean(ssims)),
             "eval_ms_ssim": float(np.mean(msssims)),
         }
+        # TRUE held-out novel-view eval (SURVEY.md §6): frames excluded
+        # from training, rendered at the spline pose with an exposure
+        # interpolated from neighboring train frames, scored against GT
+        # sharp frames.  Only meaningful when a holdout exists and the
+        # dataset carries sharp GT.
+        if (
+            indices is None
+            and len(self.dataset.eval_indices) > 0
+            and len(self.dataset.train_indices) > 0
+            and sharp_gt is not None
+        ):
+            novel_psnrs, novel_ssims = [], []
+            for i in self.dataset.eval_indices:
+                log_e = imf.interpolated_log_exposure(
+                    self.params, self.dataset.timestamps,
+                    self.dataset.train_indices, int(i),
+                )
+                ldr = self._eval_render_novel(
+                    self.params, jnp.asarray(int(i)),
+                    jnp.asarray(np.exp(log_e), jnp.float32), deg,
+                )
+                gt = jnp.asarray(sharp_gt[int(i)])
+                novel_psnrs.append(float(losses.psnr(ldr, gt)))
+                novel_ssims.append(float(losses.ssim(ldr, gt)))
+            metrics["eval_novel_psnr"] = float(np.mean(novel_psnrs))
+            metrics["eval_novel_ssim"] = float(np.mean(novel_ssims))
         if lpips_vals:
             metrics["eval_lpips"] = float(np.mean(lpips_vals))
         if sharp_psnrs:

@@ -1,0 +1,177 @@
+"""Small-scale JOINT-recovery probe (VERDICT r2 next-steps 2/3): the
+structured fixture at reduced resolution, full joint training (poses +
+exposures + CRF + scene [+ densify]), reporting a recovery TIME SERIES —
+sharp/deblur PSNR, gauge-aligned rot/trans ATE, exposure error — so the
+pose-divergence fix and exposure-recovery levers are tuned in minutes on
+the chip instead of hours at spec.
+
+Usage (on the TPU):
+    python scripts/probe_joint.py --steps 1500 --pose-warmup 300 \
+        --pose-trans-lr-scale 0.3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from casualhdrsplat_tpu.utils import runtime  # noqa: E402
+
+runtime.setup()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from casualhdrsplat_tpu import config  # noqa: E402
+from casualhdrsplat_tpu.data import dataset as dataset_mod  # noqa: E402
+from casualhdrsplat_tpu.data import synthetic  # noqa: E402
+from casualhdrsplat_tpu.models import image_formation as imf  # noqa: E402
+from casualhdrsplat_tpu.train import metrics as metrics_mod  # noqa: E402
+from casualhdrsplat_tpu.train.trainer import Trainer  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=320)
+    ap.add_argument("--gt-gaussians", type=int, default=10_000)
+    ap.add_argument("--capacity", type=int, default=1 << 15)
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--virtual-views", type=int, default=6)
+    ap.add_argument("--knots-per-frame", type=int, default=3)
+    ap.add_argument("--shake-rot", type=float, default=0.03)
+    ap.add_argument("--shake-trans", type=float, default=0.015)
+    ap.add_argument("--exposure-lo", type=float, default=0.12)
+    ap.add_argument("--exposure-hi", type=float, default=0.5)
+    ap.add_argument("--pose-warmup", type=int, default=0)
+    ap.add_argument("--pose-trans-lr-scale", type=float, default=1.0)
+    ap.add_argument("--pose-lr", type=float, default=1e-3)
+    ap.add_argument("--exposure-lr", type=float, default=1e-3)
+    ap.add_argument("--pose-sigma", type=float, default=0.002)
+    ap.add_argument("--exposure-init-frac", type=float, default=0.0)
+    ap.add_argument("--densify", action="store_true")
+    ap.add_argument("--shared-binning", action="store_true")
+    ap.add_argument("--antialias", action="store_true")
+    ap.add_argument("--eval-every", type=int, default=250)
+    ap.add_argument("--label", default="")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(42)
+    kpf = args.knots_per_frame
+    gt_rc = config.RasterizeConfig(
+        shared_binning=False, stream_factor=24, max_tiles_per_gaussian=64,
+        tile_capacity=4096, tile_h=16, tile_w=16, chunk=256,
+    )
+    t0 = time.time()
+    video = synthetic.make_casual_video(
+        rng, n_gaussians=args.gt_gaussians, n_frames=args.frames,
+        n_virtual=16, size=args.size, angle_span=0.8,
+        exposure_range=(args.exposure_lo, args.exposure_hi), crf_gamma=2.2,
+        hdr_max=3.0, extent=2.2, renderer="fast", raster_cfg=gt_rc,
+        cloud_kind="structured", shake_rot=args.shake_rot,
+        shake_trans=args.shake_trans, knots_per_frame=kpf,
+    )
+    n = video.images.shape[0]
+    cam = video.camera
+    from casualhdrsplat_tpu.models import losses
+    in_psnr = float(np.mean([
+        float(losses.psnr(video.images[i], video.sharp_ldr[i]))
+        for i in range(n)
+    ]))
+    print(f"fixture ready: {time.time()-t0:.0f}s  input-vs-sharp "
+          f"{in_psnr:.1f} dB", flush=True)
+
+    ds = dataset_mod.Dataset(
+        images=np.asarray(video.images),
+        timestamps=np.asarray(video.timestamps),
+        viewmats=np.asarray(
+            [np.asarray(video.knots[2 + i * kpf]) for i in range(n)],
+            np.float32,
+        ),
+        fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx), cy=float(cam.cy),
+        width=cam.width, height=cam.height,
+        points_xyz=np.asarray(video.cloud.means3d),
+        points_rgb=np.clip(np.asarray(video.cloud.colors), 0, 1),
+        sharp_images=np.asarray(video.sharp_ldr),
+    )
+
+    cfg = config.TrainConfig(name="probe-joint")
+    cfg.model.max_gaussians = args.capacity
+    cfg.model.sh_degree = 2
+    cfg.model.num_virtual_views = args.virtual_views
+    cfg.model.knots_per_frame = kpf
+    cfg.model.exposure_init_frac = args.exposure_init_frac
+    cfg.model.crf.kind = "mlp"
+    cfg.model.rasterize = config.RasterizeConfig(
+        tile_h=16, tile_w=16, tile_capacity=1024, max_tiles_per_gaussian=32,
+        chunk=256, backend="auto", stream_factor=10,
+        shared_binning=args.shared_binning, antialias=args.antialias,
+    )
+    cfg.densify.enabled = bool(args.densify)
+    cfg.densify.start_iter = 300
+    cfg.densify.interval = 100
+    cfg.densify.stop_iter = int(args.steps * 0.6)
+    cfg.densify.opacity_reset_interval = 10 * args.steps
+    cfg.densify.screen_prune_from = 400
+    cfg.optim.max_steps = args.steps
+    cfg.optim.pose_warmup_steps = args.pose_warmup
+    cfg.optim.pose_trans_lr_scale = args.pose_trans_lr_scale
+    cfg.optim.pose_lr_init = args.pose_lr
+    cfg.optim.exposure_lr = args.exposure_lr
+    cfg.data.eval_every = 0
+    cfg.log_every = 0
+    cfg.eval_every = 0
+    cfg.checkpoint_every = 0
+
+    t = Trainer(cfg, ds)
+    t.params["knot_deltas"] = args.pose_sigma * jax.random.normal(
+        jax.random.PRNGKey(3), t.params["knot_deltas"].shape
+    )
+
+    def recovery():
+        rot, trans = metrics_mod.pose_recovery_errors(
+            video.knots, imf.effective_knots(t.params, t.scene)
+        )
+        got = np.asarray(t.params["log_exposures"])
+        gt = np.log(np.asarray(video.exposures))
+        err = np.abs((got - got.mean()) - (gt - gt.mean()))
+        return {
+            "rot": round(float(rot.mean()), 4),
+            "rot_max": round(float(rot.max()), 4),
+            "trans": round(float(trans.mean()), 5),
+            "trans_max": round(float(trans.max()), 5),
+            "exp": round(float(err.mean()), 4),
+        }
+
+    eval_idx = list(range(0, n, max(1, n // 4)))
+    print(json.dumps({"step": 0, **recovery(), "label": args.label}),
+          flush=True)
+    t_tr = time.time()
+    while t.step < args.steps:
+        out = t.run_step()
+        if t.step % args.eval_every == 0 or t.step == args.steps:
+            m = t.evaluate(indices=eval_idx)
+            entry = {
+                "step": t.step, "loss": round(out["loss"], 4),
+                "psnr": round(m["eval_psnr"], 2),
+                "sharp": round(m.get("eval_sharp_psnr", 0.0), 2),
+                "gain": round(
+                    m.get("eval_sharp_psnr", 0.0)
+                    - m.get("eval_sharp_psnr_input", 0.0), 2),
+                "dropped": out["dropped"],
+                **recovery(),
+                "s_per_step": round((time.time() - t_tr) / t.step, 3),
+            }
+            print(json.dumps(entry), flush=True)
+    print(f"done in {time.time()-t_tr:.0f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -73,8 +73,28 @@ def main():
     ap.add_argument("--steps", type=int, default=4_000)
     ap.add_argument("--capacity", type=int, default=1 << 17)
     ap.add_argument("--virtual-views", type=int, default=8)
-    ap.add_argument("--out", default="QUALITY_r02.json")
+    ap.add_argument("--out", default="QUALITY_r03.json")
     ap.add_argument("--render-dir", default="outputs/quality")
+    # Fixture: "structured" (piecewise-smooth textured room — the winnable
+    # quality benchmark, VERDICT r2 Missing #4) vs legacy "confetti".
+    ap.add_argument("--fixture", default="structured",
+                    choices=["structured", "confetti"])
+    # Handheld shake: per-dense-knot SE(3) jitter (rad / world units) —
+    # the dominant source of casual-video blur (rotation moves the WHOLE
+    # frame; the look-at orbit alone never blurs central content).
+    ap.add_argument("--shake-rot", type=float, default=0.03)
+    ap.add_argument("--shake-trans", type=float, default=0.015)
+    # Sub-frame spline control points (GT and model use the same grid).
+    ap.add_argument("--knots-per-frame", type=int, default=3)
+    # Joint-stability controls (VERDICT r2 Missing #2 / next-step 2).
+    ap.add_argument("--pose-warmup", type=int, default=500)
+    ap.add_argument("--pose-trans-lr-scale", type=float, default=0.3)
+    ap.add_argument("--exposure-lr", type=float, default=1e-3)
+    ap.add_argument("--antialias", action="store_true")
+    # Hold out every k-th frame from training and score TRUE novel-view
+    # synthesis on them (pose from the spline, exposure interpolated from
+    # neighboring train frames — SURVEY.md §6; VERDICT r2 Weak #5).
+    ap.add_argument("--holdout-every", type=int, default=6)
     # Fixture blur severity: within-exposure motion scales with the
     # exposure upper bound (run 7's (0.25, 1.0) => ~26 px max streak;
     # (0.12, 0.5) probes at ~13 px / input-vs-sharp ~26 dB).
@@ -113,6 +133,14 @@ def main():
     # ~26 px) — genuinely heavy casual blur with deblurring headroom.  The
     # first cut (scale .01-.04 @ span 2.0) overflowed every static budget
     # at 800^2 and the bottom of every training render went empty.
+    # GT generation budget: one-time cost, so over-provision the stream
+    # (structured surfel splats at 800^2 need more than the training
+    # defaults; make_casual_video RAISES if anything is dropped).
+    gt_rc = config.RasterizeConfig(
+        shared_binning=False, stream_factor=24, max_tiles_per_gaussian=64,
+        tile_capacity=4096, tile_h=16, tile_w=16, chunk=256,
+    )
+    kpf = args.knots_per_frame
     video = synthetic.make_casual_video(
         rng,
         n_gaussians=args.gt_gaussians,
@@ -126,14 +154,22 @@ def main():
         extent=2.2,
         scale_range=(0.004, 0.016),
         renderer="fast",
+        raster_cfg=gt_rc,
+        cloud_kind=("structured" if args.fixture == "structured" else "random"),
+        shake_rot=args.shake_rot,
+        shake_trans=args.shake_trans,
+        knots_per_frame=kpf,
     )
     n = video.images.shape[0]
     cam = video.camera
     ds = dataset_mod.Dataset(
         images=np.asarray(video.images),
         timestamps=np.asarray(video.timestamps),
+        # frame-time poses off the (dense, shaken) GT knot grid — the
+        # "COLMAP-on-blurry-frames" initialization a real pipeline gets
         viewmats=np.asarray(
-            [np.asarray(video.knots[2 + i]) for i in range(n)], np.float32
+            [np.asarray(video.knots[2 + i * kpf]) for i in range(n)],
+            np.float32,
         ),
         fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx), cy=float(cam.cy),
         width=cam.width, height=cam.height,
@@ -148,7 +184,11 @@ def main():
     cfg.model.max_gaussians = args.capacity
     cfg.model.sh_degree = 3
     cfg.model.num_virtual_views = args.virtual_views
+    cfg.model.knots_per_frame = kpf
     cfg.model.crf.kind = "mlp"
+    cfg.optim.pose_warmup_steps = args.pose_warmup
+    cfg.optim.pose_trans_lr_scale = args.pose_trans_lr_scale
+    cfg.optim.exposure_lr = args.exposure_lr
     # Binning regime is flag-driven (--shared-binning / --stream-factor);
     # both regimes were tuned against at-spec probes in round 2:
     # - PER-VIEW (exact): run 7 measured ~0.94M rows/view demand at full
@@ -164,7 +204,7 @@ def main():
     cfg.model.rasterize = config.RasterizeConfig(
         tile_h=16, tile_w=16, tile_capacity=1024, max_tiles_per_gaussian=32,
         chunk=256, backend="auto", stream_factor=args.stream_factor,
-        shared_binning=args.shared_binning,
+        shared_binning=args.shared_binning, antialias=args.antialias,
     )
     cfg.densify.enabled = True
     cfg.densify.start_iter = 500
@@ -184,7 +224,7 @@ def main():
     cfg.densify.screen_prune_from = 600
     cfg.densify.prune_screen_radius = 0.10
     cfg.optim.max_steps = args.steps
-    cfg.data.eval_every = 0  # per-frame exposures: train on every frame
+    cfg.data.eval_every = args.holdout_every
     cfg.log_every = 100
     cfg.eval_every = 0  # evals driven from here (curve below)
     cfg.checkpoint_every = 0
@@ -215,8 +255,33 @@ def main():
         "exposure_range": [args.exposure_lo, args.exposure_hi],
         "shared_binning": bool(args.shared_binning),
         "stream_factor": args.stream_factor,
+        "fixture": args.fixture,
+        "shake": [args.shake_rot, args.shake_trans],
+        "knots_per_frame": kpf,
+        "antialias": bool(args.antialias),
+        "pose_warmup": args.pose_warmup,
+        "pose_trans_lr_scale": args.pose_trans_lr_scale,
+        "exposure_lr": args.exposure_lr,
+        "holdout_every": args.holdout_every,
     }
     fixture_path = os.path.join(ckpt_root, "fixture.json")
+
+    def recovery_now():
+        """Gauge-aligned pose + exposure recovery snapshot — appended to
+        every eval entry so divergence is a TIME SERIES, not a before/
+        after pair (VERDICT r2 Weak #6: a mean over knots hides end-knot
+        blowups; report max too)."""
+        rot, trans = pose_errors(
+            video.knots, imf.effective_knots(t.params, t.scene)
+        )
+        got = np.asarray(t.params["log_exposures"])
+        gt = np.log(np.asarray(video.exposures))
+        err = np.abs((got - got.mean()) - (gt - gt.mean()))
+        return {
+            "rot_deg_mean": float(rot.mean()), "rot_deg_max": float(rot.max()),
+            "trans_mean": float(trans.mean()), "trans_max": float(trans.max()),
+            "exp_err_mean": float(err.mean()), "exp_err_max": float(err.max()),
+        }
 
     eval_idx = list(range(0, n, max(1, n // 6)))
     curve = []
@@ -284,13 +349,9 @@ def main():
         }
         final = curve[-1]
         report = {
-            "round": 2,
+            "round": 3,
             "run_label": args.run_label,
-            "fixture": {
-                "exposure_range": [args.exposure_lo, args.exposure_hi],
-                "shared_binning": bool(args.shared_binning),
-                "stream_factor": args.stream_factor,
-            },
+            "fixture": dict(fixture_knobs),
             "scale": {
                 "image": [args.size, args.size],
                 "frames": n,
@@ -357,10 +418,13 @@ def main():
                               "clipped": out["clipped"]}), flush=True)
         if t.step % 1000 == 0 or t.step == cfg.optim.max_steps:
             m = t.evaluate(indices=eval_idx)
+            if args.holdout_every > 0:
+                m.update({k: v for k, v in t.evaluate().items()
+                          if k.startswith("eval_novel")})
             alive = int(jnp.sum(t.params["gaussians"]["alive"]))
             entry = {"step": t.step, "loss": out["loss"], "alive": alive,
                      "dropped": out["dropped"], "clipped": out["clipped"],
-                     **m}
+                     **m, **recovery_now()}
             curve.append(entry)
             print(json.dumps(entry), flush=True)
             with open(args.out + ".progress", "a") as f:

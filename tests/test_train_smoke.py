@@ -130,3 +130,60 @@ def test_dense_knot_grid_trains(tiny_dataset, tmp_path):
     for _ in range(25):
         last = t.run_step()
     assert last["loss"] < np.mean(first), (first, last)
+
+
+def test_shared_binning_self_guard(capsys):
+    # High within-exposure camera-frame wobble (long exposures + strong
+    # shake between frame poses) whose Chebyshev inflation exceeds the
+    # stream budget while exact per-view binning still fits: the startup
+    # guard must fall back LOUDLY instead of silently waterfilling
+    # (VERDICT r2 next-step 6 / run-6 failure mode).
+    def build(shake):
+        ds = dataset_mod.make_synthetic_dataset(
+            seed=5, n_gaussians=2000, n_frames=4, n_virtual=3, size=64,
+            angle_span=0.2, exposure_range=(0.8, 1.0),
+            scale_range=(0.005, 0.02), shake_rot=shake, shake_trans=shake / 6,
+        )
+        cfg = tiny_cfg(num_virtual_views=3, max_gaussians=2048)
+        cfg.model.rasterize = config.RasterizeConfig(
+            tile_h=8, tile_w=8, tile_capacity=64, max_tiles_per_gaussian=16,
+            chunk=32, backend="xla", packed=True, shared_binning=True,
+            stream_factor=8,
+        )
+        return Trainer(cfg, ds)
+
+    t = build(shake=0.3)
+    out = capsys.readouterr().out
+    assert not t.cfg.model.rasterize.shared_binning
+    assert "shared binning disabled" in out
+
+    # ...and a becalmed fixture keeps shared binning on
+    t2 = build(shake=0.0)
+    assert t2.cfg.model.rasterize.shared_binning
+
+
+def test_novel_view_eval_with_interpolated_exposure(tmp_path):
+    from casualhdrsplat_tpu.models import image_formation as imf
+
+    ds = dataset_mod.make_synthetic_dataset(
+        seed=3, n_gaussians=50, n_frames=6, n_virtual=2, size=20
+    )
+    cfg = tiny_cfg()
+    cfg.data.eval_every = 3  # frames {0, 3} held out
+    cfg.out_dir = str(tmp_path)
+    t = Trainer(cfg, ds)
+    assert list(t.dataset.eval_indices) == [0, 3]
+    for _ in range(3):
+        t.run_step()
+    m = t.evaluate()
+    assert np.isfinite(m["eval_novel_psnr"]) and m["eval_novel_psnr"] > 5.0
+    assert "eval_novel_ssim" in m
+
+    # interpolation math: held-out frame 3 sits between train frames 2,4
+    t.params["log_exposures"] = jnp.asarray(
+        [9.0, 0.1, 0.2, 9.0, 0.4, 0.5]  # held-out entries poisoned
+    )
+    got = imf.interpolated_log_exposure(
+        t.params, ds.timestamps, t.dataset.train_indices, 3
+    )
+    np.testing.assert_allclose(got, 0.3, atol=1e-6)  # mean of 0.2 and 0.4
