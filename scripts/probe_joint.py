@@ -61,6 +61,14 @@ def main():
     ap.add_argument("--antialias", action="store_true")
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--label", default="")
+    # Diagnostics: start the knots AT the GT trajectory (deltas =
+    # log(base^-1 gt) on the shared dense grid) — isolates whether pose
+    # error is the fit blocker; combine with --pose-lr 0 to freeze there.
+    ap.add_argument("--gt-pose-init", action="store_true")
+    # Same for exposures: start log dt at the GT values (gauge-free fit).
+    ap.add_argument("--gt-exposure-init", action="store_true")
+    ap.add_argument("--dump", action="store_true",
+                    help="write render/target/deblur/sharp PNGs at the end")
     args = ap.parse_args()
 
     rng = np.random.default_rng(42)
@@ -131,9 +139,22 @@ def main():
     cfg.checkpoint_every = 0
 
     t = Trainer(cfg, ds)
-    t.params["knot_deltas"] = args.pose_sigma * jax.random.normal(
-        jax.random.PRNGKey(3), t.params["knot_deltas"].shape
-    )
+    if args.gt_pose_init:
+        from casualhdrsplat_tpu.geometry import lie
+
+        base = t.scene.base_knots
+        gt = jnp.asarray(video.knots)
+        assert base.shape == gt.shape, (base.shape, gt.shape)
+        t.params["knot_deltas"] = jax.vmap(
+            lambda b, g: lie.se3_log(lie.se3_inverse(b) @ g)
+        )(base, gt)
+    else:
+        t.params["knot_deltas"] = args.pose_sigma * jax.random.normal(
+            jax.random.PRNGKey(3), t.params["knot_deltas"].shape
+        )
+    if args.gt_exposure_init:
+        t.params["log_exposures"] = jnp.log(jnp.asarray(video.exposures))
+        t._init_log_exposures = jnp.asarray(t.params["log_exposures"])
 
     def recovery():
         rot, trans = metrics_mod.pose_recovery_errors(
@@ -171,6 +192,25 @@ def main():
             }
             print(json.dumps(entry), flush=True)
     print(f"done in {time.time()-t_tr:.0f}s", flush=True)
+    if args.dump:
+        out_dir = "outputs/probe_joint"
+        os.makedirs(out_dir, exist_ok=True)
+        deg = t.active_sh_degree()
+        for i in eval_idx[:3]:
+            fid = jnp.asarray(int(i))
+            r = t._eval_render(t.params, fid, deg)
+            metrics_mod.save_image(
+                os.path.join(out_dir, f"render_{i:02d}.png"), r.blurred_ldr)
+            metrics_mod.save_image(
+                os.path.join(out_dir, f"target_{i:02d}.png"),
+                jnp.asarray(ds.images[int(i)]))
+            deb = t._eval_render_deblurred(t.params, fid, deg)
+            metrics_mod.save_image(
+                os.path.join(out_dir, f"deblur_{i:02d}.png"), deb)
+            metrics_mod.save_image(
+                os.path.join(out_dir, f"sharp_{i:02d}.png"),
+                jnp.asarray(ds.sharp_images[int(i)]))
+        print("dumps under", out_dir, flush=True)
 
 
 if __name__ == "__main__":

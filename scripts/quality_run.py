@@ -283,7 +283,12 @@ def main():
             "exp_err_mean": float(err.mean()), "exp_err_max": float(err.max()),
         }
 
-    eval_idx = list(range(0, n, max(1, n // 6)))
+    # deblur/fit metrics are scored on TRAIN frames only: a held-out
+    # frame's own exposure entry never receives gradients, so its
+    # deblurred render would be tone-mapped at a garbage dt (held-out
+    # frames are scored by the novel-view metric instead).
+    tr = list(t.dataset.train_indices)
+    eval_idx = [tr[i] for i in range(0, len(tr), max(1, len(tr) // 6))]
     curve = []
     if not args.fresh:
         # Resume: the fixture is deterministic (seeded rng), so restoring
