@@ -364,9 +364,7 @@ def make_casual_video(
             [rng.normal(0.0, max(shake_rot, 1e-12), (m, 3)),
              rng.normal(0.0, max(shake_trans, 1e-12), (m, 3))], axis=-1,
         ).astype(np.float32)
-        knots = jnp.einsum(
-            "nij,njk->nik", lie.se3_exp_batch(jnp.asarray(xi)), knots
-        )
+        knots = lie.mat_mul(lie.se3_exp_batch(jnp.asarray(xi)), knots)
 
     # The unified image-formation model uses ONE quantity per frame: the
     # exposure time dt_i both scales irradiance (H * dt) and spans the blur

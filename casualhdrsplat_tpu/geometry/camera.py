@@ -74,7 +74,8 @@ def look_at(eye, target, up=(0.0, 1.0, 0.0)) -> jnp.ndarray:
     right = right / jnp.linalg.norm(right)
     down = jnp.cross(fwd, right)
     R = jnp.stack([right, down, fwd], axis=0)  # world->cam rotation
-    t = -R @ eye
     from casualhdrsplat_tpu.geometry import lie
+
+    t = -lie.mat_vec(R, eye)
 
     return lie.rt_to_mat(R, t)

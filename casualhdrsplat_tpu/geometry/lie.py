@@ -19,6 +19,32 @@ import jax.numpy as jnp
 
 _EPS = 1e-8
 
+# Pose math must run in FULL float32: the TPU's default matmul precision
+# multiplies in bfloat16, which puts ~1e-2 relative error into every 3x3 /
+# 4x4 composition — measured ~1 DEGREE mean rotation error through one
+# base @ exp(log(base^-1 gt)) roundtrip on the chip, i.e. several pixels
+# of pose noise per render.  These tiny matmuls are negligible FLOPs, so
+# pin them to HIGHEST everywhere in the trajectory path (the rasterizer's
+# big MXU matmuls keep the fast default).  CPU tests force highest
+# globally (conftest), so ONLY the chip ever saw this corruption.
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+def mat_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Matrix product at float32 precision — use for ALL pose compositions."""
+    return jnp.matmul(a, b, precision=PRECISION)
+
+
+def mat_vec(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Matrix-vector product at float32 precision (batched: [..., i, j] x
+    [..., j])."""
+    return jnp.einsum("...ij,...j->...i", a, v, precision=PRECISION)
+
+
+def lie_ww(W: jnp.ndarray) -> jnp.ndarray:
+    """W @ W at float32 precision."""
+    return mat_mul(W, W)
+
 
 def hat(w: jnp.ndarray) -> jnp.ndarray:
     """so(3) hat operator: w[3] -> skew-symmetric [3,3]."""
@@ -65,7 +91,7 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     A, B, _ = _sinc_coeffs(theta_sq)
     W = hat(w)
     eye = jnp.eye(3, dtype=w.dtype)
-    return eye + A[..., None, None] * W + B[..., None, None] * (W @ W)
+    return eye + A[..., None, None] * W + B[..., None, None] * lie_ww(W)
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
@@ -98,7 +124,7 @@ def _left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
     _, B, C = _sinc_coeffs(theta_sq)
     W = hat(w)
     eye = jnp.eye(3, dtype=w.dtype)
-    return eye + B[..., None, None] * W + C[..., None, None] * (W @ W)
+    return eye + B[..., None, None] * W + C[..., None, None] * lie_ww(W)
 
 
 def _left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
@@ -114,14 +140,14 @@ def _left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
     )
     W = hat(w)
     eye = jnp.eye(3, dtype=w.dtype)
-    return eye - 0.5 * W + cot_term[..., None, None] * (W @ W)
+    return eye - 0.5 * W + cot_term[..., None, None] * lie_ww(W)
 
 
 def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     """xi[6]=(omega, v) -> T[4,4]."""
     w, v = xi[..., :3], xi[..., 3:]
     R = so3_exp(w)
-    t = jnp.einsum("...ij,...j->...i", _left_jacobian(w), v)
+    t = mat_vec(_left_jacobian(w), v)
     return rt_to_mat(R, t)
 
 
@@ -129,7 +155,7 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     """T[4,4] -> xi[6]=(omega, v)."""
     R, t = mat_to_rt(T)
     w = so3_log(R)
-    v = jnp.einsum("...ij,...j->...i", _left_jacobian_inv(w), t)
+    v = mat_vec(_left_jacobian_inv(w), t)
     return jnp.concatenate([w, v], axis=-1)
 
 
@@ -151,7 +177,7 @@ def mat_to_rt(T: jnp.ndarray):
 def se3_inverse(T: jnp.ndarray) -> jnp.ndarray:
     R, t = mat_to_rt(T)
     Rt = jnp.swapaxes(R, -1, -2)
-    return rt_to_mat(Rt, -jnp.einsum("...ij,...j->...i", Rt, t))
+    return rt_to_mat(Rt, -mat_vec(Rt, t))
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:

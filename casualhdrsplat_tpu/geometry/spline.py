@@ -39,8 +39,8 @@ def linear_interpolation(knots: jnp.ndarray, t0, dt, t: jnp.ndarray) -> jnp.ndar
         base, u = _segment_and_u(ti, t0, dt, knots.shape[0], order=2)
         Ta = knots[base]
         Tb = knots[base + 1]
-        rel = lie.se3_log(lie.se3_inverse(Ta) @ Tb)
-        return Ta @ lie.se3_exp(u * rel)
+        rel = lie.se3_log(lie.mat_mul(lie.se3_inverse(Ta), Tb))
+        return lie.mat_mul(Ta, lie.se3_exp(u * rel))
 
     return jax.vmap(one)(jnp.atleast_1d(t))
 
@@ -68,8 +68,10 @@ def cubic_bspline_interpolation(
         b3 = u3 / 6.0
         out = T0
         for k, b in ((1, b1), (2, b2), (3, b3)):
-            rel = lie.se3_log(lie.se3_inverse(knots[base + k - 1]) @ knots[base + k])
-            out = out @ lie.se3_exp(b * rel)
+            rel = lie.se3_log(
+                lie.mat_mul(lie.se3_inverse(knots[base + k - 1]), knots[base + k])
+            )
+            out = lie.mat_mul(out, lie.se3_exp(b * rel))
         return out
 
     return jax.vmap(one)(jnp.atleast_1d(t))

@@ -107,8 +107,8 @@ def effective_knots(params: Params, scene: SceneStatic) -> jnp.ndarray:
     """knot_j = base_j @ exp(delta_j): pose optimization as Lie-algebra
     deltas composed onto fixed SfM initializations (SURVEY.md C12, the
     idiomatic JAX replacement for pypose manifold Adam)."""
-    return jnp.einsum(
-        "nij,njk->nik", scene.base_knots, lie.se3_exp_batch(params["knot_deltas"])
+    return lie.mat_mul(
+        scene.base_knots, lie.se3_exp_batch(params["knot_deltas"])
     )
 
 

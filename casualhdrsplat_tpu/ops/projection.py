@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from casualhdrsplat_tpu.geometry.lie import quat_to_rotmat
@@ -44,7 +45,11 @@ def quat_scale_to_cov3d(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     """Sigma = R S S^T R^T, R from (possibly unnormalized) quaternion."""
     R = quat_to_rotmat(quats)
     M = R * scales[..., None, :]  # R @ diag(s)
-    return M @ jnp.swapaxes(M, -1, -2)
+    # full fp32: bf16-default matmuls put ~1e-2 relative error into the
+    # covariance (oracle/reference path only; the production projection
+    # is scalar-expanded in _cov2d_components)
+    return jnp.matmul(M, jnp.swapaxes(M, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _cov2d_components(quats, scales, R):

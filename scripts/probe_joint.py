@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--exposure-lr", type=float, default=1e-3)
     ap.add_argument("--pose-sigma", type=float, default=0.002)
     ap.add_argument("--exposure-init-frac", type=float, default=0.0)
+    ap.add_argument("--sh-degree", type=int, default=2)
+    ap.add_argument("--crf", default="mlp", choices=["mlp", "gamma", "identity"])
+    ap.add_argument("--sh-dc-lr", type=float, default=2.5e-3)
+    ap.add_argument("--means-lr", type=float, default=1.6e-4)
     ap.add_argument("--densify", action="store_true")
     ap.add_argument("--shared-binning", action="store_true")
     ap.add_argument("--antialias", action="store_true")
@@ -112,11 +116,13 @@ def main():
 
     cfg = config.TrainConfig(name="probe-joint")
     cfg.model.max_gaussians = args.capacity
-    cfg.model.sh_degree = 2
+    cfg.model.sh_degree = args.sh_degree
     cfg.model.num_virtual_views = args.virtual_views
     cfg.model.knots_per_frame = kpf
     cfg.model.exposure_init_frac = args.exposure_init_frac
-    cfg.model.crf.kind = "mlp"
+    cfg.model.crf.kind = args.crf
+    cfg.optim.sh_dc_lr = args.sh_dc_lr
+    cfg.optim.means_lr_init = args.means_lr
     cfg.model.rasterize = config.RasterizeConfig(
         tile_h=16, tile_w=16, tile_capacity=1024, max_tiles_per_gaussian=32,
         chunk=256, backend="auto", stream_factor=10,
@@ -146,7 +152,7 @@ def main():
         gt = jnp.asarray(video.knots)
         assert base.shape == gt.shape, (base.shape, gt.shape)
         t.params["knot_deltas"] = jax.vmap(
-            lambda b, g: lie.se3_log(lie.se3_inverse(b) @ g)
+            lambda b, g: lie.se3_log(lie.mat_mul(lie.se3_inverse(b), g))
         )(base, gt)
     else:
         t.params["knot_deltas"] = args.pose_sigma * jax.random.normal(
