@@ -156,6 +156,10 @@ class LossConfig:
     ssim_lambda: float = 0.2
     exposure_prior_weight: float = 1e-3
     crf_smoothness_weight: float = 1e-3
+    # Cross-channel variance penalty on the CRF curve — pins the
+    # chromatic gauge (CRF tint vs splat-color tint); see
+    # crf.chroma_prior.
+    crf_chroma_weight: float = 1e-2
 
 
 @dataclass

@@ -120,3 +120,19 @@ def smoothness_prior(params: Params, cfg: CRFConfig, num: int = 64) -> jnp.ndarr
     _, ldr = response_curve(params, cfg, num)
     d2 = ldr[2:] - 2.0 * ldr[1:-1] + ldr[:-2]
     return jnp.mean(d2 * d2) * num**2
+
+
+def chroma_prior(params: Params, cfg: CRFConfig, num: int = 64) -> jnp.ndarray:
+    """Penalize divergence between the per-channel response curves.
+
+    The joint model has a CHROMATIC gauge: a CRF whose channels drift
+    apart (e.g. green-heavy) can be compensated by oppositely-tinted
+    per-splat SH colors, leaving training renders unchanged while both
+    estimates walk away from the truth.  Real camera CRFs are per-channel
+    but nearly identical; penalizing the cross-channel variance of the
+    sampled curve pins the gauge without constraining the SHAPE."""
+    if cfg.kind != "mlp":
+        return jnp.zeros(())
+    _, ldr = response_curve(params, cfg, num)  # [num, 3]
+    dev = ldr - jnp.mean(ldr, axis=-1, keepdims=True)
+    return jnp.mean(dev * dev)

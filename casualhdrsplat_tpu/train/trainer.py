@@ -168,6 +168,10 @@ class Trainer:
                 loss = loss + cfg.loss.crf_smoothness_weight * crf_mod.smoothness_prior(
                     p["crf"], cfg.model.crf
                 )
+                if cfg.loss.crf_chroma_weight > 0.0:
+                    loss = loss + cfg.loss.crf_chroma_weight * crf_mod.chroma_prior(
+                        p["crf"], cfg.model.crf
+                    )
             aux = {
                 "photo": photo,
                 "psnr": losses.psnr(out.blurred_ldr, target),

@@ -59,6 +59,7 @@ def main():
     ap.add_argument("--sh-degree", type=int, default=2)
     ap.add_argument("--crf", default="mlp", choices=["mlp", "gamma", "identity"])
     ap.add_argument("--sh-dc-lr", type=float, default=2.5e-3)
+    ap.add_argument("--crf-lr", type=float, default=5e-3)
     ap.add_argument("--means-lr", type=float, default=1.6e-4)
     ap.add_argument("--densify", action="store_true")
     ap.add_argument("--shared-binning", action="store_true")
@@ -123,6 +124,7 @@ def main():
     cfg.model.crf.kind = args.crf
     cfg.optim.sh_dc_lr = args.sh_dc_lr
     cfg.optim.means_lr_init = args.means_lr
+    cfg.optim.crf_lr = args.crf_lr
     cfg.model.rasterize = config.RasterizeConfig(
         tile_h=16, tile_w=16, tile_capacity=1024, max_tiles_per_gaussian=32,
         chunk=256, backend="auto", stream_factor=10,

@@ -117,3 +117,23 @@ def test_gamma_recovery_at_default_lr():
         params, state, _ = step(params, state)
     rmse = float(jnp.sqrt(jnp.mean((crf.apply(params, x3, cfg) - gt) ** 2)))
     assert rmse < 0.01, rmse
+
+
+def test_chroma_prior_pins_channel_divergence():
+    import jax
+    import jax.numpy as jnp
+
+    from casualhdrsplat_tpu import config
+    from casualhdrsplat_tpu.models import crf as crf_mod
+
+    cfg = config.CRFConfig(kind="mlp")
+    p = crf_mod.create(cfg, jax.random.PRNGKey(0))
+    base = float(crf_mod.chroma_prior(p, cfg))
+    assert base < 1e-6  # init curves are (near-)identical per channel
+    # tint one channel: the prior must light up, and its gradient must
+    # push the divergent channel back
+    p2 = dict(p, bias=p["bias"] + jnp.asarray([0.0, 1.0, 0.0]))
+    tinted = float(crf_mod.chroma_prior(p2, cfg))
+    assert tinted > 100 * max(base, 1e-12)
+    g = jax.grad(lambda q: crf_mod.chroma_prior(q, cfg))(p2)
+    assert abs(float(g["bias"][1])) > abs(float(g["bias"][0]))
