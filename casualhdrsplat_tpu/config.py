@@ -58,6 +58,14 @@ class CRFConfig:
     kind: str = "mlp"  # "identity" | "gamma" | "mlp"
     hidden: int = 32  # sigmoid units per channel
     gamma: float = 2.2
+    # Initialize the learnable mixture NEAR a gamma curve (sRGB-like —
+    # the universal camera-encoding prior) by a short pre-fit at create().
+    # 0 keeps the legacy clip(E)-shaped init.  Round-3 probe finding: the
+    # CRF's shape CANNOT be absorbed by scene radiance once exposures
+    # vary per frame, and in-train CRF learning from the clip-init stalls
+    # the joint fit; starting near the true curve family removes the
+    # co-adaptation trap.
+    init_gamma: float = 2.2
     # Log-exposure normalization range fed to the MLP.
     log_min: float = -10.0
     log_max: float = 4.0

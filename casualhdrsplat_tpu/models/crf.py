@@ -36,8 +36,12 @@ def _inv_softplus(y: float) -> float:
 
 
 def create(cfg: CRFConfig, rng_key: Optional[jax.Array] = None) -> Params:
-    """Initialize near an s-curve that approximates a smooth clamp of the
-    linear exposure (so training starts close to identity tone-mapping)."""
+    """Initialize the monotone mixture near a plausible camera curve.
+
+    cfg.init_gamma > 0 (default 2.2): pre-fit the mixture to that gamma
+    curve (sRGB-like — the universal camera-encoding prior) with a short
+    jitted Adam loop; deterministic.  0: legacy s-curve approximating
+    clip(E, 0, 1) (identity tone-mapping)."""
     if cfg.kind != "mlp":
         return {}
     if rng_key is None:
@@ -48,7 +52,7 @@ def create(cfg: CRFConfig, rng_key: Optional[jax.Array] = None) -> Params:
     span = cfg.log_max - cfg.log_min
     gain = 1.32 * span
     x0 = (np.log(0.35) - cfg.log_min) / span
-    return {
+    params = {
         # per-channel sigmoid units: slopes k, centers c, weights w (raw,
         # softplus-reparameterized nonneg; near-zero at init)
         "unit_k": jnp.ones((c, h)),
@@ -58,6 +62,38 @@ def create(cfg: CRFConfig, rng_key: Optional[jax.Array] = None) -> Params:
         "gain": jnp.full((c,), _inv_softplus(gain)),
         "bias": jnp.full((c,), -gain * x0),
     }
+    if cfg.init_gamma > 0.0:
+        params = _prefit_to_gamma(params, cfg)
+    return params
+
+
+def _prefit_to_gamma(params: Params, cfg: CRFConfig, steps: int = 1200) -> Params:
+    """Fit the mixture to clip(E,0,1)^(1/init_gamma) on log-spaced samples
+    (one-time, jitted fori_loop — runs in well under a second)."""
+    import optax
+
+    e = jnp.exp(jnp.linspace(cfg.log_min, cfg.log_max, 256))
+    target = jnp.clip(e, 0.0, 1.0) ** (1.0 / cfg.init_gamma)
+    e3 = jnp.tile(e[:, None], (1, 3))
+    opt = optax.adam(1e-2)
+
+    def loss_fn(p):
+        return jnp.mean((apply(p, e3, cfg) - target[:, None]) ** 2)
+
+    @jax.jit
+    def fit(p):
+        state = opt.init(p)
+
+        def body(_, carry):
+            p, state = carry
+            g = jax.grad(loss_fn)(p)
+            updates, state = opt.update(g, state, p)
+            return optax.apply_updates(p, updates), state
+
+        p, _ = jax.lax.fori_loop(0, steps, body, (p, state))
+        return p
+
+    return fit(params)
 
 
 def apply(params: Params, hdr_exposed: jnp.ndarray, cfg: CRFConfig) -> jnp.ndarray:

@@ -129,7 +129,7 @@ def test_chroma_prior_pins_channel_divergence():
     cfg = config.CRFConfig(kind="mlp")
     p = crf_mod.create(cfg, jax.random.PRNGKey(0))
     base = float(crf_mod.chroma_prior(p, cfg))
-    assert base < 1e-6  # init curves are (near-)identical per channel
+    assert base < 5e-6  # init curves are (near-)identical per channel
     # tint one channel: the prior must light up, and its gradient must
     # push the divergent channel back
     p2 = dict(p, bias=p["bias"] + jnp.asarray([0.0, 1.0, 0.0]))
