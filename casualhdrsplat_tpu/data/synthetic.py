@@ -223,6 +223,68 @@ def structured_cloud(
     )
 
 
+def cached_casual_video(cache_dir: str, seed: int, **kw) -> SyntheticVideo:
+    """make_casual_video memoized to an .npz keyed by (seed, kwargs).
+
+    GT generation at spec costs minutes of chip time and is repeated on
+    every quality-run resume and probe launch; the fixture is a pure
+    function of (seed, kwargs), so cache it.  raster_cfg only influences
+    HOW the GT is rendered (it must be drop-free either way), so it is
+    excluded from the key."""
+    import hashlib
+    import json as json_mod
+    import os
+
+    key_src = {k: repr(v) for k, v in sorted(kw.items()) if k != "raster_cfg"}
+    key_src["seed"] = seed
+    key = hashlib.sha256(
+        json_mod.dumps(key_src, sort_keys=True).encode()
+    ).hexdigest()[:16]
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"video_{key}.npz")
+    cam_fields = ("fx", "fy", "cx", "cy", "width", "height")
+    if os.path.exists(path):
+        z = np.load(path)
+        cam = Camera.make(
+            jnp.asarray(z["cam_viewmat"]), float(z["fx"]), float(z["fy"]),
+            float(z["cx"]), float(z["cy"]), int(z["width"]), int(z["height"]),
+        )
+        cloud = GaussianCloud(*[
+            jnp.asarray(z[f"cloud_{f}"]) for f in GaussianCloud._fields
+        ])
+        return SyntheticVideo(
+            cloud=cloud,
+            images=jnp.asarray(z["images"]),
+            sharp_hdr=jnp.asarray(z["sharp_hdr"]),
+            sharp_ldr=jnp.asarray(z["sharp_ldr"]),
+            timestamps=jnp.asarray(z["timestamps"]),
+            exposures=jnp.asarray(z["exposures"]),
+            knots=jnp.asarray(z["knots"]),
+            knot_t0=float(z["knot_t0"]),
+            knot_dt=float(z["knot_dt"]),
+            camera=cam,
+        )
+    rng = np.random.default_rng(seed)
+    video = make_casual_video(rng, **kw)
+    cam = video.camera
+    np.savez_compressed(
+        path,
+        **{f"cloud_{f}": np.asarray(getattr(video.cloud, f))
+           for f in GaussianCloud._fields},
+        images=np.asarray(video.images),
+        sharp_hdr=np.asarray(video.sharp_hdr),
+        sharp_ldr=np.asarray(video.sharp_ldr),
+        timestamps=np.asarray(video.timestamps),
+        exposures=np.asarray(video.exposures),
+        knots=np.asarray(video.knots),
+        knot_t0=np.asarray(video.knot_t0),
+        knot_dt=np.asarray(video.knot_dt),
+        cam_viewmat=np.asarray(cam.viewmat),
+        **{f: np.asarray(getattr(cam, f)) for f in cam_fields},
+    )
+    return video
+
+
 def orbit_camera(
     angle: float,
     radius: float = 4.0,

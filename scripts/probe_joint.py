@@ -60,6 +60,8 @@ def main():
     ap.add_argument("--crf", default="mlp", choices=["mlp", "gamma", "identity"])
     ap.add_argument("--sh-dc-lr", type=float, default=2.5e-3)
     ap.add_argument("--crf-lr", type=float, default=5e-3)
+    ap.add_argument("--crf-smooth-w", type=float, default=1e-3)
+    ap.add_argument("--crf-chroma-w", type=float, default=1e-2)
     ap.add_argument("--means-lr", type=float, default=1.6e-4)
     ap.add_argument("--densify", action="store_true")
     ap.add_argument("--shared-binning", action="store_true")
@@ -76,15 +78,15 @@ def main():
                     help="write render/target/deblur/sharp PNGs at the end")
     args = ap.parse_args()
 
-    rng = np.random.default_rng(42)
     kpf = args.knots_per_frame
     gt_rc = config.RasterizeConfig(
         shared_binning=False, stream_factor=24, max_tiles_per_gaussian=64,
         tile_capacity=4096, tile_h=16, tile_w=16, chunk=256,
     )
     t0 = time.time()
-    video = synthetic.make_casual_video(
-        rng, n_gaussians=args.gt_gaussians, n_frames=args.frames,
+    video = synthetic.cached_casual_video(
+        "outputs/fixture_cache", 42,
+        n_gaussians=args.gt_gaussians, n_frames=args.frames,
         n_virtual=16, size=args.size, angle_span=0.8,
         exposure_range=(args.exposure_lo, args.exposure_hi), crf_gamma=2.2,
         hdr_max=3.0, extent=2.2, renderer="fast", raster_cfg=gt_rc,
@@ -125,6 +127,8 @@ def main():
     cfg.optim.sh_dc_lr = args.sh_dc_lr
     cfg.optim.means_lr_init = args.means_lr
     cfg.optim.crf_lr = args.crf_lr
+    cfg.loss.crf_smoothness_weight = args.crf_smooth_w
+    cfg.loss.crf_chroma_weight = args.crf_chroma_w
     cfg.model.rasterize = config.RasterizeConfig(
         tile_h=16, tile_w=16, tile_capacity=1024, max_tiles_per_gaussian=32,
         chunk=256, backend="auto", stream_factor=10,

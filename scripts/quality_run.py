@@ -122,7 +122,6 @@ def main():
     ckpt_root = os.path.abspath(os.path.join(args.render_dir, "ckpt"))
     if args.fresh and os.path.exists(args.out + ".progress"):
         os.remove(args.out + ".progress")
-    rng = np.random.default_rng(42)
     print("generating GT fixture...", flush=True)
     # Fixture tuned with AT-SPEC 800^2 probes (scripts/probe_fixture.py —
     # world-unit scales are NOT resolution-invariant: tile footprint grows
@@ -141,8 +140,8 @@ def main():
         tile_capacity=4096, tile_h=16, tile_w=16, chunk=256,
     )
     kpf = args.knots_per_frame
-    video = synthetic.make_casual_video(
-        rng,
+    video = synthetic.cached_casual_video(
+        os.path.join("outputs", "fixture_cache"), 42,
         n_gaussians=args.gt_gaussians,
         n_frames=args.frames,
         n_virtual=16,
