@@ -168,6 +168,13 @@ class LossConfig:
     # chromatic gauge (CRF tint vs splat-color tint); see
     # crf.chroma_prior.
     crf_chroma_weight: float = 1e-2
+    # Coarse-to-fine: blur render AND target with a Gaussian whose sigma
+    # anneals coarse_sigma0 -> 0 px over the first coarse_to_fine_steps
+    # steps (losses.gaussian_blur; traced sigma, zero recompiles).
+    # Widens the pose-alignment basin when the trajectory init is many
+    # pixels off (handheld shake); 0 disables.
+    coarse_to_fine_steps: int = 0
+    coarse_sigma0: float = 8.0
 
 
 @dataclass

@@ -128,8 +128,19 @@ class Trainer:
 
     # -- jitted programs ---------------------------------------------------
 
+    def _c2f_sigma(self) -> float:
+        """Coarse-to-fine blur sigma for the CURRENT step (host-side;
+        passed traced so the schedule costs zero recompiles)."""
+        n = self.cfg.loss.coarse_to_fine_steps
+        if n <= 0:
+            return 0.0
+        return float(self.cfg.loss.coarse_sigma0) * max(
+            0.0, 1.0 - self.step / n
+        )
+
     @functools.partial(jax.jit, static_argnames=("self", "sh_degree"))
-    def _train_step(self, params, opt_state, adc, images, frame_id, sh_degree):
+    def _train_step(self, params, opt_state, adc, images, frame_id,
+                    blur_sigma, sh_degree):
         # `images` is an explicit device-resident arg (NOT read off `self`)
         # so the frame stack is not baked into the executable as a constant.
         # ADC stat accumulation runs INSIDE the step: eager per-step
@@ -153,9 +164,11 @@ class Trainer:
                     p, self.scene, frame_id, cfg.model,
                     sh_degree=sh_degree, means2d_offset=off,
                 )
-            photo = losses.photometric(
-                out.blurred_ldr, target, cfg.loss.ssim_lambda
-            )
+            pred, tgt = out.blurred_ldr, target
+            if cfg.loss.coarse_to_fine_steps > 0:
+                pred = losses.gaussian_blur(pred, blur_sigma)
+                tgt = losses.gaussian_blur(tgt, blur_sigma)
+            photo = losses.photometric(pred, tgt, cfg.loss.ssim_lambda)
             loss = photo
             if cfg.model.optimize_exposure:
                 # gauge anchor at the INIT estimate (not log dt = 0: with
@@ -266,7 +279,8 @@ class Trainer:
         frame = int(self._rng.choice(self.dataset.train_indices))
         self.params, self.opt_state, self.adc, scalars = self._train_step(
             self.params, self.opt_state, self.adc, self.images,
-            jnp.asarray(frame), self.active_sh_degree(),
+            jnp.asarray(frame), jnp.asarray(self._c2f_sigma(), jnp.float32),
+            self.active_sh_degree(),
         )
         self.step += 1
         d = self.cfg.densify

@@ -62,6 +62,8 @@ def main():
     ap.add_argument("--crf-lr", type=float, default=5e-3)
     ap.add_argument("--crf-smooth-w", type=float, default=1e-3)
     ap.add_argument("--crf-chroma-w", type=float, default=1e-2)
+    ap.add_argument("--c2f-steps", type=int, default=0)
+    ap.add_argument("--c2f-sigma", type=float, default=8.0)
     ap.add_argument("--means-lr", type=float, default=1.6e-4)
     ap.add_argument("--densify", action="store_true")
     ap.add_argument("--shared-binning", action="store_true")
@@ -76,6 +78,9 @@ def main():
     ap.add_argument("--gt-exposure-init", action="store_true")
     ap.add_argument("--dump", action="store_true",
                     help="write render/target/deblur/sharp PNGs at the end")
+    ap.add_argument("--fixture-only", action="store_true",
+                    help="print fixture stats (input-vs-sharp dB) and exit "
+                         "— blur-severity calibration")
     args = ap.parse_args()
 
     kpf = args.knots_per_frame
@@ -102,6 +107,16 @@ def main():
     ]))
     print(f"fixture ready: {time.time()-t0:.0f}s  input-vs-sharp "
           f"{in_psnr:.1f} dB", flush=True)
+    if args.fixture_only:
+        from casualhdrsplat_tpu.train import metrics as mm
+
+        os.makedirs("outputs/probe_joint", exist_ok=True)
+        tag = f"sr{args.shake_rot}_eh{args.exposure_hi}"
+        mm.save_image(f"outputs/probe_joint/fixture_{tag}_input.png",
+                      video.images[0])
+        mm.save_image(f"outputs/probe_joint/fixture_{tag}_sharp.png",
+                      video.sharp_ldr[0])
+        return
 
     ds = dataset_mod.Dataset(
         images=np.asarray(video.images),
@@ -129,13 +144,15 @@ def main():
     cfg.optim.crf_lr = args.crf_lr
     cfg.loss.crf_smoothness_weight = args.crf_smooth_w
     cfg.loss.crf_chroma_weight = args.crf_chroma_w
+    cfg.loss.coarse_to_fine_steps = args.c2f_steps
+    cfg.loss.coarse_sigma0 = args.c2f_sigma
     cfg.model.rasterize = config.RasterizeConfig(
         tile_h=16, tile_w=16, tile_capacity=1024, max_tiles_per_gaussian=32,
         chunk=256, backend="auto", stream_factor=10,
         shared_binning=args.shared_binning, antialias=args.antialias,
     )
     cfg.densify.enabled = bool(args.densify)
-    cfg.densify.start_iter = 300
+    cfg.densify.start_iter = max(300, args.c2f_steps // 2)
     cfg.densify.interval = 100
     cfg.densify.stop_iter = int(args.steps * 0.6)
     cfg.densify.opacity_reset_interval = 10 * args.steps

@@ -117,3 +117,26 @@ def test_ms_ssim_grad_finite(rng):
     g = jax.grad(lambda x: 1.0 - losses.ms_ssim(x, b))(a)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_gaussian_blur_traced_sigma():
+    import jax
+    import jax.numpy as jnp
+
+    from casualhdrsplat_tpu.models import losses
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(size=(24, 20, 3)), jnp.float32)
+    f = jax.jit(losses.gaussian_blur)
+    # sigma 0 -> identity (delta kernel)
+    np.testing.assert_allclose(np.asarray(f(img, 0.0)), np.asarray(img),
+                               atol=1e-6)
+    # larger sigma -> lower variance, mass approximately preserved
+    out = np.asarray(f(img, 3.0))
+    assert out.std() < 0.7 * float(np.asarray(img).std())
+    inner = out[8:-8, 8:-8]  # away from SAME-padding borders
+    np.testing.assert_allclose(
+        inner.mean(), np.asarray(img).mean(), atol=0.05
+    )
+    # the whole schedule reuses ONE executable (traced sigma)
+    assert f._cache_size() == 1
