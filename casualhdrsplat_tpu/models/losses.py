@@ -36,11 +36,17 @@ def _ssim_cs(
         kh = jnp.tile(g[None, None, :, None], (3, 1, 1, 1))  # [C,1,W,1]
         kw = jnp.tile(g[None, None, None, :], (3, 1, 1, 1))
         dn = jax.lax.conv_dimension_numbers(img4.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+        # fp32 convs: the TPU's bf16 matmul/conv default makes the
+        # E[x^2]-E[x]^2 cancellation CATASTROPHIC (measured SSIM > 1.3
+        # and garbage pose gradients on the chip; CPU tests force fp32
+        # globally so only TPU runs saw it)
         out = jax.lax.conv_general_dilated(
-            img4, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=3
+            img4, kh, (1, 1), "VALID", dimension_numbers=dn,
+            feature_group_count=3, precision=jax.lax.Precision.HIGHEST,
         )
         out = jax.lax.conv_general_dilated(
-            out, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=3
+            out, kw, (1, 1), "VALID", dimension_numbers=dn,
+            feature_group_count=3, precision=jax.lax.Precision.HIGHEST,
         )
         return out.transpose(0, 2, 3, 1)[0]
 
@@ -164,8 +170,11 @@ def gaussian_blur(img: jnp.ndarray, sigma, k: int = 33) -> jnp.ndarray:
     w = w / jnp.sum(w)
     # [3,1,H,W] feature-map layout; two 1-D convs (separable)
     chw = img.transpose(2, 0, 1)[:, None]
-    out = jax.lax.conv_general_dilated(chw, w.reshape(1, 1, kk, 1), (1, 1), "SAME")
-    out = jax.lax.conv_general_dilated(out, w.reshape(1, 1, 1, kk), (1, 1), "SAME")
+    prec = jax.lax.Precision.HIGHEST  # bf16 conv default corrupts on TPU
+    out = jax.lax.conv_general_dilated(
+        chw, w.reshape(1, 1, kk, 1), (1, 1), "SAME", precision=prec)
+    out = jax.lax.conv_general_dilated(
+        out, w.reshape(1, 1, 1, kk), (1, 1), "SAME", precision=prec)
     return out[:, 0].transpose(1, 2, 0)
 
 
