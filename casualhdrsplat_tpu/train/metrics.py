@@ -80,6 +80,42 @@ def pose_recovery_errors(knots_gt, knots_est):
     return rot_deg, trans
 
 
+def trajectory_recovery_errors(
+    knots_gt, t0_gt, dt_gt, knots_est, t0_est, dt_est, times, mode="cubic"
+):
+    """pose_recovery_errors evaluated at SAMPLED trajectory times.
+
+    Per-knot comparison is misleading on dense sub-frame grids: only the
+    union of exposure windows is observed, and knots in unsampled spline
+    regions sit in the objective's null space — they drift freely under
+    Adam while every rendered pose stays correct (round-3 joint probe:
+    knot-space rot error 4.6 deg with deblurred renders at 32+ dB).
+    Evaluate both splines at the times the data actually sampled and
+    compare those poses instead.  Returns (rot_deg, trans) per time."""
+    from casualhdrsplat_tpu.geometry import spline
+
+    import numpy as np
+
+    ta = np.asarray(
+        spline.interpolate(knots_gt, t0_gt, dt_gt, times, mode=mode)
+    )
+    tb = np.asarray(
+        spline.interpolate(knots_est, t0_est, dt_est, times, mode=mode)
+    )
+    return pose_recovery_errors(ta, tb)
+
+
+def exposure_window_times(timestamps, exposures, per_frame: int = 5):
+    """Sample times covering every frame's exposure window [t_i, t_i+dt_i]
+    — the observed support for trajectory_recovery_errors."""
+    import numpy as np
+
+    ts = np.asarray(timestamps, np.float64)
+    ex = np.asarray(exposures, np.float64)
+    frac = np.linspace(0.0, 1.0, per_frame)
+    return np.concatenate([t + frac * e for t, e in zip(ts, ex)])
+
+
 def save_hdr(path: str, img) -> None:
     """Write an [H,W,3] linear float image as Radiance .hdr (RGBE) — the
     HDR-ecosystem interop format for the C20 'render HDR images' output

@@ -100,11 +100,12 @@ def main():
     )
     n = video.images.shape[0]
     cam = video.camera
-    from casualhdrsplat_tpu.models import losses
-    in_psnr = float(np.mean([
-        float(losses.psnr(video.images[i], video.sharp_ldr[i]))
-        for i in range(n)
-    ]))
+    # pure-numpy PSNR: eager device ops on the axon backend can stall for
+    # minutes per launch (measured 30 min once), and this is startup info
+    img_np = np.asarray(video.images)
+    sharp_np = np.asarray(video.sharp_ldr)
+    mse = ((img_np - sharp_np) ** 2).reshape(n, -1).mean(axis=1)
+    in_psnr = float(np.mean(-10.0 * np.log10(np.maximum(mse, 1e-12))))
     print(f"fixture ready: {time.time()-t0:.0f}s  input-vs-sharp "
           f"{in_psnr:.1f} dB", flush=True)
     if args.fixture_only:
@@ -185,9 +186,17 @@ def main():
         t.params["log_exposures"] = jnp.log(jnp.asarray(video.exposures))
         t._init_log_exposures = jnp.asarray(t.params["log_exposures"])
 
+    traj_times = jnp.asarray(metrics_mod.exposure_window_times(
+        video.timestamps, video.exposures
+    ), jnp.float32)
+
     def recovery():
-        rot, trans = metrics_mod.pose_recovery_errors(
-            video.knots, imf.effective_knots(t.params, t.scene)
+        # trajectory error at the SAMPLED times (knot-space comparison is
+        # meaningless on dense grids — unsampled knots are a null space)
+        rot, trans = metrics_mod.trajectory_recovery_errors(
+            video.knots, video.knot_t0, video.knot_dt,
+            imf.effective_knots(t.params, t.scene),
+            t.scene.knot_t0, t.scene.knot_dt, traj_times,
         )
         got = np.asarray(t.params["log_exposures"])
         gt = np.log(np.asarray(video.exposures))

@@ -45,9 +45,6 @@ from casualhdrsplat_tpu.train import metrics as metrics_mod  # noqa: E402
 from casualhdrsplat_tpu.train.trainer import Trainer  # noqa: E402
 
 
-pose_errors = metrics_mod.pose_recovery_errors
-
-
 def crf_recovery_rmse(params, crf_cfg, gamma: float):
     """RMSE between the learned response curve and the GT gamma curve,
     minimized over a log-exposure shift (the chain's scale gauge)."""
@@ -238,9 +235,22 @@ def main():
     t.params["knot_deltas"] = pose_sigma * jax.random.normal(
         jax.random.PRNGKey(3), t.params["knot_deltas"].shape
     )
-    rot0, trans0 = pose_errors(
-        video.knots, imf.effective_knots(t.params, t.scene)
-    )
+
+    _traj_times = jnp.asarray(metrics_mod.exposure_window_times(
+        video.timestamps, video.exposures
+    ), jnp.float32)
+
+    def traj_errors():
+        """Pose error at SAMPLED trajectory times (exposure windows) —
+        dense-grid knots outside the windows are an objective null space,
+        so knot-space errors are meaningless there."""
+        return metrics_mod.trajectory_recovery_errors(
+            video.knots, video.knot_t0, video.knot_dt,
+            imf.effective_knots(t.params, t.scene),
+            t.scene.knot_t0, t.scene.knot_dt, _traj_times,
+        )
+
+    rot0, trans0 = traj_errors()
 
     # Fixture provenance guard (ADVICE r2): the checkpoint under ckpt_root
     # is only resumable into the SAME fixture/raster regime.  Persist the
@@ -269,10 +279,10 @@ def main():
         """Gauge-aligned pose + exposure recovery snapshot — appended to
         every eval entry so divergence is a TIME SERIES, not a before/
         after pair (VERDICT r2 Weak #6: a mean over knots hides end-knot
-        blowups; report max too)."""
-        rot, trans = pose_errors(
-            video.knots, imf.effective_knots(t.params, t.scene)
-        )
+        blowups; report max too).  Pose error is measured at the SAMPLED
+        trajectory times (exposure windows): on dense sub-frame knot
+        grids the unsampled knots are a null space of the objective."""
+        rot, trans = traj_errors()
         got = np.asarray(t.params["log_exposures"])
         gt = np.log(np.asarray(video.exposures))
         err = np.abs((got - got.mean()) - (gt - gt.mean()))
@@ -342,9 +352,7 @@ def main():
             "mean_abs_log_ratio_err": float(np.abs(got_c - gt_c).mean()),
         }
         crf_rec = crf_recovery_rmse(t.params["crf"], cfg.model.crf, gamma=2.2)
-        rot1, trans1 = pose_errors(
-            video.knots, imf.effective_knots(t.params, t.scene)
-        )
+        rot1, trans1 = traj_errors()
         pose_rec = {
             "init_rot_deg_mean": float(rot0.mean()),
             "final_rot_deg_mean": float(rot1.mean()),

@@ -74,3 +74,44 @@ def test_center_noise_reaches_ate():
         noisy[i, :3, 3] = -R @ c
     _, trans = pose_recovery_errors(knots, noisy)
     assert 0.01 < trans.mean() < 0.2
+
+
+def test_trajectory_errors_ignore_null_space_knots():
+    """Knots OUTSIDE the sampled windows may differ wildly without
+    affecting the sampled-time trajectory error (the dense-grid null
+    space that makes knot-space comparison meaningless)."""
+    import jax.numpy as jnp
+
+    from casualhdrsplat_tpu.geometry import lie, spline
+    from casualhdrsplat_tpu.train import metrics
+
+    times_k, t0, dt = spline.dense_grid(num_frames=4, per_frame=3, pad=2)
+    m = times_k.shape[0]
+    rng = np.random.default_rng(0)
+    xi = jnp.asarray(rng.normal(0, 0.05, (m, 6)), jnp.float32)
+    gt = lie.se3_exp_batch(xi)
+
+    # estimated = GT everywhere except a pad/tail knot far outside the
+    # sampled range, wildly perturbed
+    est = gt.at[0].set(gt[0] @ lie.se3_exp(jnp.asarray(
+        [0.5, -0.4, 0.3, 1.0, -1.0, 0.5], jnp.float32)))
+    # windows sample only t in [1.0, 2.5]
+    q = jnp.asarray(metrics.exposure_window_times(
+        [1.0, 2.0], [0.5, 0.5], per_frame=5), jnp.float32)
+    rot, trans = metrics.trajectory_recovery_errors(
+        gt, t0, dt, est, t0, dt, q)
+    assert rot.max() < 0.05 and trans.max() < 1e-4, (rot.max(), trans.max())
+
+    # ...while a perturbation INSIDE the window is detected
+    mid = m // 2  # knot at t ~ 1.3 (inside [1, 2.5])
+    est2 = gt.at[mid].set(gt[mid] @ lie.se3_exp(jnp.asarray(
+        [0.1, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)))
+    rot2, _ = metrics.trajectory_recovery_errors(gt, t0, dt, est2, t0, dt, q)
+    assert rot2.max() > 0.5  # degrees
+
+
+def test_exposure_window_times_cover_windows():
+    from casualhdrsplat_tpu.train import metrics
+
+    q = metrics.exposure_window_times([0.0, 1.0], [0.4, 0.2], per_frame=3)
+    np.testing.assert_allclose(q, [0.0, 0.2, 0.4, 1.0, 1.1, 1.2], atol=1e-9)
