@@ -166,8 +166,10 @@ class Trainer:
                 )
             pred, tgt = out.blurred_ldr, target
             if cfg.loss.coarse_to_fine_steps > 0:
-                pred = losses.gaussian_blur(pred, blur_sigma)
-                tgt = losses.gaussian_blur(tgt, blur_sigma)
+                # kernel must cover ~3 sigma at the schedule's START
+                k = int(3 * cfg.loss.coarse_sigma0) * 2 + 1
+                pred = losses.gaussian_blur(pred, blur_sigma, k=k)
+                tgt = losses.gaussian_blur(tgt, blur_sigma, k=k)
             photo = losses.photometric(pred, tgt, cfg.loss.ssim_lambda)
             loss = photo
             if cfg.model.optimize_exposure:
