@@ -79,14 +79,24 @@ def main():
     # Handheld shake: per-dense-knot SE(3) jitter (rad / world units) —
     # the dominant source of casual-video blur (rotation moves the WHOLE
     # frame; the look-at orbit alone never blurs central content).
-    ap.add_argument("--shake-rot", type=float, default=0.03)
-    ap.add_argument("--shake-trans", type=float, default=0.015)
+    # Calibrated heavy-blur regime (round 3): shake 0.06 + exposures
+    # 0.5-1.0 of the frame interval -> input-vs-sharp ~22 dB at 800^2,
+    # the genuinely-blurry casual video the deblurring contract needs,
+    # with an init pose error the joint optimizer demonstrably recovers.
+    ap.add_argument("--shake-rot", type=float, default=0.06)
+    ap.add_argument("--shake-trans", type=float, default=0.03)
     # Sub-frame spline control points (GT and model use the same grid).
     ap.add_argument("--knots-per-frame", type=int, default=3)
     # Joint-stability controls (VERDICT r2 Missing #2 / next-step 2).
-    ap.add_argument("--pose-warmup", type=int, default=500)
-    ap.add_argument("--pose-trans-lr-scale", type=float, default=0.3)
-    ap.add_argument("--exposure-lr", type=float, default=1e-3)
+    ap.add_argument("--pose-warmup", type=int, default=100)
+    ap.add_argument("--pose-trans-lr-scale", type=float, default=0.1)
+    ap.add_argument("--exposure-lr", type=float, default=5e-3)
+    ap.add_argument("--exposure-init-frac", type=float, default=0.75)
+    ap.add_argument("--crf-lr", type=float, default=1e-3)
+    # coarse-to-fine (losses.gaussian_blur): widens the pose basin for
+    # the shaken-trajectory init; sigma in px at the run resolution.
+    ap.add_argument("--c2f-steps", type=int, default=1200)
+    ap.add_argument("--c2f-sigma", type=float, default=10.0)
     ap.add_argument("--antialias", action="store_true")
     # Hold out every k-th frame from training and score TRUE novel-view
     # synthesis on them (pose from the spline, exposure interpolated from
@@ -95,7 +105,7 @@ def main():
     # Fixture blur severity: within-exposure motion scales with the
     # exposure upper bound (run 7's (0.25, 1.0) => ~26 px max streak;
     # (0.12, 0.5) probes at ~13 px / input-vs-sharp ~26 dB).
-    ap.add_argument("--exposure-lo", type=float, default=0.25)
+    ap.add_argument("--exposure-lo", type=float, default=0.5)
     ap.add_argument("--exposure-hi", type=float, default=1.0)
     # Binning regime: per-view (exact, expensive — run 7) vs shared
     # (~6x cheaper walk, depth order approximated across virtual views;
@@ -185,6 +195,10 @@ def main():
     cfg.optim.pose_warmup_steps = args.pose_warmup
     cfg.optim.pose_trans_lr_scale = args.pose_trans_lr_scale
     cfg.optim.exposure_lr = args.exposure_lr
+    cfg.optim.crf_lr = args.crf_lr
+    cfg.model.exposure_init_frac = args.exposure_init_frac
+    cfg.loss.coarse_to_fine_steps = args.c2f_steps
+    cfg.loss.coarse_sigma0 = args.c2f_sigma
     # Binning regime is flag-driven (--shared-binning / --stream-factor);
     # both regimes were tuned against at-spec probes in round 2:
     # - PER-VIEW (exact): run 7 measured ~0.94M rows/view demand at full
@@ -271,6 +285,9 @@ def main():
         "pose_warmup": args.pose_warmup,
         "pose_trans_lr_scale": args.pose_trans_lr_scale,
         "exposure_lr": args.exposure_lr,
+        "exposure_init_frac": args.exposure_init_frac,
+        "crf_lr": args.crf_lr,
+        "c2f": [args.c2f_steps, args.c2f_sigma],
         "holdout_every": args.holdout_every,
     }
     fixture_path = os.path.join(ckpt_root, "fixture.json")
