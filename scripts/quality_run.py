@@ -62,6 +62,60 @@ def crf_recovery_rmse(params, crf_cfg, gamma: float):
     return {"rmse": best[0], "log_shift": best[1]}
 
 
+def build_fixture(knobs: dict):
+    """Rebuild the deterministic GT fixture + Dataset from the knob dict
+    persisted beside the checkpoint (ckpt/fixture.json) — shared by the
+    training run below and by scripts/eval_aligned.py, so a checkpoint is
+    always re-evaluated against the exact fixture it trained on."""
+    # GT generation budget: one-time cost, so over-provision the stream
+    # (structured surfel splats at 800^2 need more than the training
+    # defaults; make_casual_video RAISES if anything is dropped).
+    gt_rc = config.RasterizeConfig(
+        shared_binning=False, stream_factor=24, max_tiles_per_gaussian=64,
+        tile_capacity=4096, tile_h=16, tile_w=16, chunk=256,
+    )
+    kpf = knobs["knots_per_frame"]
+    video = synthetic.cached_casual_video(
+        os.path.join("outputs", "fixture_cache"), 42,
+        n_gaussians=knobs["gt_gaussians"],
+        n_frames=knobs["frames"],
+        n_virtual=16,
+        size=knobs["size"],
+        angle_span=0.8,
+        exposure_range=tuple(knobs["exposure_range"]),
+        crf_gamma=2.2,
+        hdr_max=3.0,
+        extent=2.2,
+        scale_range=(0.004, 0.016),
+        renderer="fast",
+        raster_cfg=gt_rc,
+        cloud_kind=(
+            "structured" if knobs["fixture"] == "structured" else "random"
+        ),
+        shake_rot=knobs["shake"][0],
+        shake_trans=knobs["shake"][1],
+        knots_per_frame=kpf,
+    )
+    n = video.images.shape[0]
+    cam = video.camera
+    ds = dataset_mod.Dataset(
+        images=np.asarray(video.images),
+        timestamps=np.asarray(video.timestamps),
+        # frame-time poses off the (dense, shaken) GT knot grid — the
+        # "COLMAP-on-blurry-frames" initialization a real pipeline gets
+        viewmats=np.asarray(
+            [np.asarray(video.knots[2 + i * kpf]) for i in range(n)],
+            np.float32,
+        ),
+        fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx), cy=float(cam.cy),
+        width=cam.width, height=cam.height,
+        points_xyz=np.asarray(video.cloud.means3d),
+        points_rgb=np.clip(np.asarray(video.cloud.colors), 0, 1),
+        sharp_images=np.asarray(video.sharp_ldr),
+    )
+    return video, ds
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=800)
@@ -129,6 +183,30 @@ def main():
     ckpt_root = os.path.abspath(os.path.join(args.render_dir, "ckpt"))
     if args.fresh and os.path.exists(args.out + ".progress"):
         os.remove(args.out + ".progress")
+    # Fixture provenance guard (ADVICE r2): the checkpoint under ckpt_root
+    # is only resumable into the SAME fixture/raster regime.  These knobs
+    # are persisted beside the checkpoint; on resume a mismatch refuses
+    # instead of silently continuing a different run under the current
+    # args (which write_report would then misattribute).
+    fixture_knobs = {
+        "size": args.size, "gt_gaussians": args.gt_gaussians,
+        "frames": args.frames, "capacity": args.capacity,
+        "virtual_views": args.virtual_views,
+        "exposure_range": [args.exposure_lo, args.exposure_hi],
+        "shared_binning": bool(args.shared_binning),
+        "stream_factor": args.stream_factor,
+        "fixture": args.fixture,
+        "shake": [args.shake_rot, args.shake_trans],
+        "knots_per_frame": args.knots_per_frame,
+        "antialias": bool(args.antialias),
+        "pose_warmup": args.pose_warmup,
+        "pose_trans_lr_scale": args.pose_trans_lr_scale,
+        "exposure_lr": args.exposure_lr,
+        "exposure_init_frac": args.exposure_init_frac,
+        "crf_lr": args.crf_lr,
+        "c2f": [args.c2f_steps, args.c2f_sigma],
+        "holdout_every": args.holdout_every,
+    }
     print("generating GT fixture...", flush=True)
     # Fixture tuned with AT-SPEC 800^2 probes (scripts/probe_fixture.py —
     # world-unit scales are NOT resolution-invariant: tile footprint grows
@@ -139,50 +217,9 @@ def main():
     # ~26 px) — genuinely heavy casual blur with deblurring headroom.  The
     # first cut (scale .01-.04 @ span 2.0) overflowed every static budget
     # at 800^2 and the bottom of every training render went empty.
-    # GT generation budget: one-time cost, so over-provision the stream
-    # (structured surfel splats at 800^2 need more than the training
-    # defaults; make_casual_video RAISES if anything is dropped).
-    gt_rc = config.RasterizeConfig(
-        shared_binning=False, stream_factor=24, max_tiles_per_gaussian=64,
-        tile_capacity=4096, tile_h=16, tile_w=16, chunk=256,
-    )
+    video, ds = build_fixture(fixture_knobs)
     kpf = args.knots_per_frame
-    video = synthetic.cached_casual_video(
-        os.path.join("outputs", "fixture_cache"), 42,
-        n_gaussians=args.gt_gaussians,
-        n_frames=args.frames,
-        n_virtual=16,
-        size=args.size,
-        angle_span=0.8,
-        exposure_range=(args.exposure_lo, args.exposure_hi),
-        crf_gamma=2.2,
-        hdr_max=3.0,
-        extent=2.2,
-        scale_range=(0.004, 0.016),
-        renderer="fast",
-        raster_cfg=gt_rc,
-        cloud_kind=("structured" if args.fixture == "structured" else "random"),
-        shake_rot=args.shake_rot,
-        shake_trans=args.shake_trans,
-        knots_per_frame=kpf,
-    )
     n = video.images.shape[0]
-    cam = video.camera
-    ds = dataset_mod.Dataset(
-        images=np.asarray(video.images),
-        timestamps=np.asarray(video.timestamps),
-        # frame-time poses off the (dense, shaken) GT knot grid — the
-        # "COLMAP-on-blurry-frames" initialization a real pipeline gets
-        viewmats=np.asarray(
-            [np.asarray(video.knots[2 + i * kpf]) for i in range(n)],
-            np.float32,
-        ),
-        fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx), cy=float(cam.cy),
-        width=cam.width, height=cam.height,
-        points_xyz=np.asarray(video.cloud.means3d),
-        points_rgb=np.clip(np.asarray(video.cloud.colors), 0, 1),
-        sharp_images=np.asarray(video.sharp_ldr),
-    )
     gt_gen_s = time.time() - t_start
     print(f"fixture: {n} frames @ {args.size}^2, {gt_gen_s:.0f}s", flush=True)
 
@@ -266,30 +303,6 @@ def main():
 
     rot0, trans0 = traj_errors()
 
-    # Fixture provenance guard (ADVICE r2): the checkpoint under ckpt_root
-    # is only resumable into the SAME fixture/raster regime.  Persist the
-    # fixture-shaping knobs beside the checkpoint; on resume, refuse a
-    # mismatch instead of silently continuing a different run under the
-    # current args (which write_report would then misattribute).
-    fixture_knobs = {
-        "size": args.size, "gt_gaussians": args.gt_gaussians,
-        "frames": args.frames, "capacity": args.capacity,
-        "virtual_views": args.virtual_views,
-        "exposure_range": [args.exposure_lo, args.exposure_hi],
-        "shared_binning": bool(args.shared_binning),
-        "stream_factor": args.stream_factor,
-        "fixture": args.fixture,
-        "shake": [args.shake_rot, args.shake_trans],
-        "knots_per_frame": kpf,
-        "antialias": bool(args.antialias),
-        "pose_warmup": args.pose_warmup,
-        "pose_trans_lr_scale": args.pose_trans_lr_scale,
-        "exposure_lr": args.exposure_lr,
-        "exposure_init_frac": args.exposure_init_frac,
-        "crf_lr": args.crf_lr,
-        "c2f": [args.c2f_steps, args.c2f_sigma],
-        "holdout_every": args.holdout_every,
-    }
     fixture_path = os.path.join(ckpt_root, "fixture.json")
 
     def recovery_now():
@@ -445,6 +458,11 @@ def main():
             print(json.dumps({"step": t.step, "loss": round(out["loss"], 5),
                               "dropped": out["dropped"],
                               "clipped": out["clipped"]}), flush=True)
+        if t.step % 1000 == 500:
+            # mid-interval checkpoint (no eval): an abrupt session end —
+            # the driver's wall-clock, not the cooperative stop file —
+            # loses at most 500 steps of chip time instead of 1000.
+            save_ckpt()
         if t.step % 1000 == 0 or t.step == cfg.optim.max_steps:
             m = t.evaluate(indices=eval_idx)
             if args.holdout_every > 0:
