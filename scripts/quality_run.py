@@ -358,16 +358,18 @@ def main():
             os.remove(args.out + ".progress")  # stale: no ckpt to match it
     renders_at = -1
     saved_at = t.step
+    saved_t = time.time()
     t_train = time.time()
     stop_file = os.path.join("outputs", "quality.stop")
 
     def save_ckpt():
-        nonlocal saved_at
+        nonlocal saved_at, saved_t
         t.save(ckpt_root)
         os.makedirs(ckpt_root, exist_ok=True)
         with open(fixture_path, "w") as f:
             json.dump(fixture_knobs, f, indent=1)
         saved_at = t.step
+        saved_t = time.time()
 
     def write_report():
         """Full report from the curve so far — called after EVERY eval so
@@ -458,10 +460,12 @@ def main():
             print(json.dumps({"step": t.step, "loss": round(out["loss"], 5),
                               "dropped": out["dropped"],
                               "clipped": out["clipped"]}), flush=True)
-        if t.step % 1000 == 500:
-            # mid-interval checkpoint (no eval): an abrupt session end —
-            # the driver's wall-clock, not the cooperative stop file —
-            # loses at most 500 steps of chip time instead of 1000.
+        if time.time() - saved_t > 300.0:
+            # mid-interval checkpoint (no eval), TIME-based: an abrupt
+            # session end — the driver's wall-clock, not the cooperative
+            # stop file — loses at most ~5 min of chip time regardless of
+            # the step rate (2.9 s/step at heavy blur made the old
+            # every-500-steps rule a ~25-min exposure).
             save_ckpt()
         if t.step % 1000 == 0 or t.step == cfg.optim.max_steps:
             m = t.evaluate(indices=eval_idx)
