@@ -94,6 +94,15 @@ class ModelConfig:
     # — with one knot per frame the cubic basis low-passes within-exposure
     # motion to a fraction of the inter-frame delta.
     knots_per_frame: int = 1
+    # Evaluate view-dependent SH radiance ONCE at the exposure window's
+    # middle virtual view and share it across all virtual views, instead
+    # of per-view.  Same approximation class as shared_binning: viewing
+    # directions change little inside one exposure window, while per-view
+    # SH costs n_virtual x N x 16-coeff evaluations per step (a measured
+    # contributor to the train-step vs bench throughput gap).  Exact for
+    # sh_degree 0; render_pose/render_deblurred (eval paths) are
+    # unaffected — they already evaluate SH at their single query pose.
+    sh_shared_view: bool = False
     optimize_poses: bool = True
     optimize_exposure: bool = True
     white_background: bool = False

@@ -208,11 +208,19 @@ def render_frame(
         )
 
     act = gauss_mod.activate(params["gaussians"])
-    # View-dependent radiance per virtual view (dirs vary along the spline).
     camtoworlds = jax.vmap(lie.se3_inverse)(viewmats)
-    colors = jax.vmap(lambda c2w: gauss_mod.colors_for_view(act, c2w, deg))(
-        camtoworlds
-    )  # [n,N,3]
+    if cfg.sh_shared_view:
+        # One SH eval at the window's middle view, shared by every
+        # virtual view (dirs vary little inside one exposure window —
+        # see ModelConfig.sh_shared_view).
+        mid = gauss_mod.colors_for_view(act, camtoworlds[n // 2], deg)
+        colors = jnp.broadcast_to(mid[None], (n,) + mid.shape)  # [n,N,3]
+    else:
+        # View-dependent radiance per virtual view (dirs vary along the
+        # spline).
+        colors = jax.vmap(
+            lambda c2w: gauss_mod.colors_for_view(act, c2w, deg)
+        )(camtoworlds)  # [n,N,3]
 
     hdr, alphas, aux = rast_mod.rasterize(
         act.means3d,

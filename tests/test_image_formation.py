@@ -121,3 +121,32 @@ def test_static_rig_when_pose_opt_off(setup):
     np.testing.assert_allclose(
         np.asarray(out.sharp_ldr[0]), np.asarray(out.sharp_ldr[-1]), atol=1e-6
     )
+
+def test_sh_shared_view(setup):
+    """sh_shared_view evaluates SH once at the middle virtual view: exact
+    at degree 0 (view-independent), close at degree>0 for the small
+    within-window direction change, and gradients still reach sh_rest."""
+    import dataclasses
+
+    ds, cfg, scene, params = setup
+    shared = dataclasses.replace(cfg, sh_shared_view=True)
+
+    out0 = imf.render_frame(params, scene, jnp.asarray(1), cfg, sh_degree=0)
+    out0s = imf.render_frame(params, scene, jnp.asarray(1), shared,
+                             sh_degree=0)
+    np.testing.assert_allclose(out0s.blurred_ldr, out0.blurred_ldr, atol=1e-6)
+
+    out1 = imf.render_frame(params, scene, jnp.asarray(1), cfg)
+    out1s = imf.render_frame(params, scene, jnp.asarray(1), shared)
+    # deg-1 radiance varies with direction: shared-view is an
+    # approximation, but within one exposure window it stays close.
+    assert float(jnp.abs(out1s.blurred_ldr - out1.blurred_ldr).max()) < 0.05
+
+    def loss(p):
+        out = imf.render_frame(p, scene, jnp.asarray(1), shared)
+        return jnp.mean((out.blurred_ldr - jnp.asarray(ds.images[1])) ** 2)
+
+    g = jax.grad(loss, allow_int=True)(params)
+    assert float(jnp.abs(g["gaussians"]["sh_dc"]).max()) > 0
+    assert float(jnp.abs(g["gaussians"]["sh_rest"]).max()) > 0
+    assert float(jnp.abs(g["knot_deltas"]).max()) > 0
