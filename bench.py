@@ -165,6 +165,38 @@ def main():
         _wd.daemon = True  # never outlive a normal run
         _wd.start()
 
+    # Serialize against other chip clients (VERDICT r3 Weak #3: the r03
+    # bench number was captured while the quality supervisor held the
+    # one-client-at-a-time backend — 4.2x contamination, unadjudicated
+    # for a round).  Take the advisory chip flock; if a long-running
+    # client holds it, ask it to stop cooperatively (quality_run.py honors
+    # outputs/quality.stop between steps) and wait; only proceed
+    # unserialised after the full wait, LOUDLY.
+    from casualhdrsplat_tpu.utils.tpu_lock import TpuLock
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    stop_file = os.path.join(repo, "outputs", "quality.stop")
+    lock = TpuLock("bench")
+    wait = float(os.environ.get("CHS_BENCH_LOCK_WAIT", "900"))
+    made_stop = False
+    if not lock.acquire(timeout_s=wait / 3):
+        os.makedirs(os.path.dirname(stop_file), exist_ok=True)
+        if not os.path.exists(stop_file):
+            open(stop_file, "w").close()
+            made_stop = True
+        sys.stderr.write(
+            "bench.py: requested cooperative stop of the running chip "
+            "client (outputs/quality.stop); waiting for the lock\n"
+        )
+        if not lock.acquire(timeout_s=2 * wait / 3):
+            sys.stderr.write(
+                f"bench.py: WARNING — chip lock still held by "
+                f"{lock.holder()}; proceeding UNSERIALIZED (this bench "
+                f"number may be contaminated)\n"
+            )
+    if made_stop and os.path.exists(stop_file):
+        os.remove(stop_file)
+
     runtime.setup()
     jax.devices()  # the wedge hangs HERE (pre-device-init)
     if _wd is not None:

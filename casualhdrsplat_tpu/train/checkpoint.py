@@ -31,13 +31,44 @@ def restore(path: str, template: Optional[Dict[str, Any]] = None) -> Dict[str, A
         return ckptr.restore(path)
 
 
+def _finalized_step_dirs(root: str) -> list:
+    """step_<N> checkpoint dirs under root, FINALIZED only: an abrupt end
+    mid-save leaves orbax temp dirs like `step_N.orbax-checkpoint-tmp-<ts>`
+    whose non-numeric suffix crashed resume on every relaunch until the
+    supervisor gave up (ADVICE r3, medium).  Fully-numeric suffixes only."""
+    out = []
+    for d in os.listdir(root):
+        stem = d[len("step_"):]
+        if d.startswith("step_") and stem.isdigit():
+            out.append((int(stem), os.path.join(root, d)))
+    return sorted(out)
+
+
 def latest_step_dir(root: str) -> Optional[str]:
     if not os.path.isdir(root):
         return None
-    steps = [d for d in os.listdir(root) if d.startswith("step_")]
-    if not steps:
-        return None
-    return os.path.join(root, max(steps, key=lambda s: int(s.split("_")[1])))
+    steps = _finalized_step_dirs(root)
+    return steps[-1][1] if steps else None
+
+
+def prune_step_dirs(root: str, keep: int = 3) -> int:
+    """Delete all but the newest `keep` finalized step_<N> dirs plus any
+    orbax temp leftovers (ADVICE r3, low: 5-minute mid-interval
+    checkpoints otherwise grow the ckpt root without bound).  Returns the
+    number of directories removed."""
+    import shutil
+
+    if not os.path.isdir(root) or keep < 1:
+        return 0
+    doomed = [p for _, p in _finalized_step_dirs(root)[:-keep]]
+    doomed += [
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if ".orbax-checkpoint-tmp" in d
+    ]
+    for p in doomed:
+        shutil.rmtree(p, ignore_errors=True)
+    return len(doomed)
 
 
 def export_ply(path: str, gauss: Dict[str, Any]) -> int:

@@ -90,6 +90,7 @@ def densify_and_prune(
     scene_extent: float,
     image_diag: float,
     screen_prune: bool = False,
+    prune_only: bool = False,
 ) -> Tuple[Dict[str, jnp.ndarray], object, AdcState, AdcReport]:
     n = gauss["alive"].shape[0]
     alive = gauss["alive"]
@@ -105,7 +106,10 @@ def densify_and_prune(
     alive = alive & ~prune
 
     avg_grad = jnp.where(adc.count > 0, adc.grad_accum / jnp.maximum(adc.count, 1), 0.0)
-    high = alive & (avg_grad > cfg.grad_threshold)
+    # prune_only: the trainer's automatic oversized-splat response may run
+    # PAST densify.stop_iter (VERDICT r3 Weak #2) — pruning must not smuggle
+    # clone/split growth back in after the schedule ended it.
+    high = alive & (avg_grad > cfg.grad_threshold) & (not prune_only)
     scale_max = jnp.exp(gauss["log_scales"]).max(axis=-1)
     split = high & (scale_max > cfg.split_scale_threshold_rel * scene_extent)
     clone = high & ~split
@@ -177,6 +181,7 @@ def densify_and_prune_sharded(
     image_diag: float,
     mesh,
     screen_prune: bool = False,
+    prune_only: bool = False,
 ) -> Tuple[Dict[str, jnp.ndarray], object, AdcState, AdcReport]:
     """ADC on the `gauss`-sharded store (SURVEY.md P5, VERDICT r1
     next-step 3): the SAME pure densify_and_prune runs INSIDE shard_map on
@@ -207,7 +212,7 @@ def densify_and_prune_sharded(
         key = jax.random.fold_in(key, jax.lax.axis_index(GAUSS_AXIS))
         out, opt, adc2, report = densify_and_prune(
             gauss_l, opt_l, adc_l, key, cfg, scene_extent, image_diag,
-            screen_prune=screen_prune,
+            screen_prune=screen_prune, prune_only=prune_only,
         )
         report = AdcReport(
             *(jax.lax.psum(x, GAUSS_AXIS) for x in report)

@@ -24,6 +24,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from casualhdrsplat_tpu.utils import runtime  # noqa: E402
+from casualhdrsplat_tpu.utils.tpu_lock import acquire_chip  # noqa: E402
+
+_TPU_LOCK = acquire_chip("probe_pose_grad", timeout_s=120.0)  # one chip client at a time
 
 runtime.setup()
 

@@ -29,6 +29,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from casualhdrsplat_tpu.utils import runtime  # noqa: E402
+from casualhdrsplat_tpu.utils.tpu_lock import acquire_chip  # noqa: E402
+
+# One chip client at a time (VERDICT r3 next-step 3): hold the advisory
+# flock for the process lifetime so benches/probes can never interleave
+# with (and contaminate or wedge) this run.  Dies with the process.
+_TPU_LOCK = acquire_chip("quality_run", timeout_s=120.0)
 
 runtime.setup()
 
@@ -368,6 +374,12 @@ def main():
         os.makedirs(ckpt_root, exist_ok=True)
         with open(fixture_path, "w") as f:
             json.dump(fixture_knobs, f, indent=1)
+        # 5-minute mid-interval checkpoints otherwise grow the ckpt root
+        # without bound (ADVICE r3, low); keep a small resume window and
+        # sweep orbax tmp leftovers from abrupt session ends.
+        from casualhdrsplat_tpu.train import checkpoint as ckpt_mod
+
+        ckpt_mod.prune_step_dirs(ckpt_root, keep=3)
         saved_at = t.step
         saved_t = time.time()
 

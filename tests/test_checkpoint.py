@@ -32,6 +32,29 @@ def test_latest_step_dir(tmp_path):
     assert ckpt.latest_step_dir(str(tmp_path)).endswith("step_200")
 
 
+def test_latest_step_dir_skips_orbax_tmp(tmp_path):
+    """An abrupt session end mid-save leaves `step_N.orbax-checkpoint-tmp-
+    <ts>` dirs; resume must fall back to the last FINALIZED step instead
+    of crashing on int('1000.orbax...') — ADVICE r3 (medium): the crash
+    made the supervisor relaunch-loop forever."""
+    import os
+
+    root = tmp_path / "ckpt"
+    for d in [
+        "step_100", "step_900",
+        "step_1000.orbax-checkpoint-tmp-1755655",
+        "step_bogus", "other",
+    ]:
+        (root / d).mkdir(parents=True)
+    assert ckpt.latest_step_dir(str(root)).endswith("step_900")
+    # pruning keeps the newest K finalized dirs, sweeps orbax leftovers,
+    # and never touches foreign directories (ADVICE r3, low: unbounded
+    # ckpt growth under 5-minute mid-interval checkpoints)
+    removed = ckpt.prune_step_dirs(str(root), keep=1)
+    assert removed == 2
+    assert sorted(os.listdir(root)) == ["other", "step_900", "step_bogus"]
+
+
 def test_ply_roundtrip(tmp_path, rng):
     gauss = gauss_mod.create(
         rng.normal(size=(20, 3)), rng.uniform(size=(20, 3)), 32, sh_degree=2

@@ -162,6 +162,57 @@ def test_shared_binning_self_guard(capsys):
     assert t2.cfg.model.rasterize.shared_binning
 
 
+def test_clipped_watchdog_arms_screen_prune(capsys):
+    """Oversized-splat watchdog (VERDICT r3 Weak #2 / next-step 4): when
+    the `clipped` counter blows past its observed floor, the trainer must
+    warn loudly AND start prune-only ADC rounds even though the densify
+    window is over — r03 carried a 6x clipped explosion silently for 3000
+    steps."""
+    ds = dataset_mod.make_synthetic_dataset(
+        seed=3, n_gaussians=60, n_frames=4, n_virtual=2, size=64
+    )
+    cfg = tiny_cfg()
+    cfg.model.rasterize = config.RasterizeConfig(
+        tile_h=8, tile_w=8, tile_capacity=128, max_tiles_per_gaussian=4,
+        chunk=32, backend="xla",
+    )
+    cfg.densify.enabled = True
+    cfg.densify.start_iter = 1
+    cfg.densify.stop_iter = 2  # ADC window ends immediately
+    cfg.densify.interval = 2
+    cfg.densify.grad_threshold = 1e9  # no clone/split noise
+    cfg.densify.prune_screen_radius = 0.10
+    cfg.densify.opacity_reset_interval = 10**9
+    t = Trainer(cfg, ds)
+    # small splats (kNN init on 60 sparse points is coarse): the clipped
+    # floor must start near zero for growth to be observable
+    t.params["gaussians"] = dict(
+        t.params["gaussians"],
+        log_scales=jnp.full_like(
+            t.params["gaussians"]["log_scales"], np.log(0.01)
+        ),
+    )
+    for _ in range(4):
+        t.run_step()  # establish a low clipped floor
+    assert not t._screen_prune_armed
+    # blow up a third of the splats far past their binning footprint
+    ls = np.array(t.params["gaussians"]["log_scales"])
+    ls[:20] = np.log(2.0)
+    t.params["gaussians"] = dict(
+        t.params["gaussians"], log_scales=jnp.asarray(ls)
+    )
+    alive0 = int(jnp.sum(t.params["gaussians"]["alive"]))
+    seen_prune = False
+    for _ in range(6):
+        out = t.run_step()
+        if out.get("pruned", 0) > 0:
+            seen_prune = True
+    assert t._screen_prune_armed
+    assert "clipped" in capsys.readouterr().out  # loud warning
+    assert seen_prune, "prune-only round never fired past stop_iter"
+    assert int(jnp.sum(t.params["gaussians"]["alive"])) < alive0
+
+
 def test_novel_view_eval_with_interpolated_exposure(tmp_path):
     from casualhdrsplat_tpu.models import image_formation as imf
 
