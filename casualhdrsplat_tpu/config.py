@@ -158,6 +158,17 @@ class OptimConfig:
     # running translation slower than rotation keeps the weakly
     # constrained direction from wandering.
     pose_trans_lr_scale: float = 1.0
+    # Staged joint optimization (VERDICT r3 next-step 1a): between
+    # pose_warmup_steps and stage_pose_until the SCENE learning rates
+    # (means/quats/scales/opacity/SH) are multiplied by
+    # stage_scene_lr_scale and the pose lr by stage_pose_lr_scale — a
+    # dedicated pose-recovery phase in which the scene cannot outrun the
+    # trajectory and absorb the blur (round-3 failure: loss fell while
+    # pose error rose; the scene warped to explain the data before poses
+    # could correct).  0 disables the stage.
+    stage_pose_until: int = 0
+    stage_scene_lr_scale: float = 0.1
+    stage_pose_lr_scale: float = 1.0
     exposure_lr: float = 1e-3
     # Measured (supervised gamma-2.2 recovery, 6k Adam steps, h=32):
     # lr 1e-3 stalls at rmse 0.049 — a ~22 dB reconstruction ceiling for
@@ -184,6 +195,14 @@ class LossConfig:
     # pixels off (handheld shake); 0 disables.
     coarse_to_fine_steps: int = 0
     coarse_sigma0: float = 8.0
+    # L2 anchor on the knot deltas (VERDICT r3 next-step 1c): the joint
+    # problem admits a scene/spline CO-WARP that photometric loss cannot
+    # see (round-3 probes: Umeyama-aligned translation error grew 5x while
+    # loss fell).  Penalizing mean ||delta||^2 pins the trajectory to its
+    # SfM init — the deviation a correct fit needs (handheld shake, a few
+    # 0.01 rad / world units per knot) costs little; a runaway warp costs
+    # a lot.  0 disables.
+    pose_anchor_weight: float = 0.0
 
 
 @dataclass

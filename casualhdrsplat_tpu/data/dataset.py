@@ -66,6 +66,41 @@ class Dataset:
             self.train_indices = np.setdiff1d(idx, self.eval_indices)
         return self
 
+    def downscaled(self, k: int) -> "Dataset":
+        """A k-times-downscaled copy (area-average box filter, intrinsics
+        scaled to match) sharing poses/timestamps/points — the COARSE rung
+        of the multi-resolution training curriculum (round 4: the at-spec
+        pose-recovery stage runs at reduced resolution, which widens the
+        photometric alignment basin the way loss-blur c2f tried to, at
+        1/k^2 the step cost and without the fat-splat pathology loss-blur
+        induced).  Keeps the train/eval split."""
+        if k <= 1:
+            return self
+
+        def box(imgs):
+            if imgs is None:
+                return None
+            n, h, w, c = imgs.shape
+            hd, wd = h // k, w // k
+            x = imgs[:, : hd * k, : wd * k]
+            return (
+                x.reshape(n, hd, k, wd, k, c).mean(axis=(2, 4)).astype(imgs.dtype)
+            )
+
+        out = Dataset(
+            images=box(self.images),
+            timestamps=self.timestamps,
+            viewmats=self.viewmats,
+            fx=self.fx / k, fy=self.fy / k,
+            cx=self.cx / k, cy=self.cy / k,
+            width=self.width // k, height=self.height // k,
+            points_xyz=self.points_xyz, points_rgb=self.points_rgb,
+            sharp_images=box(self.sharp_images),
+        )
+        out.train_indices = self.train_indices
+        out.eval_indices = self.eval_indices
+        return out
+
     def scene_extent(self) -> float:
         if len(self.points_xyz):
             center = self.points_xyz.mean(axis=0)

@@ -66,6 +66,24 @@ def _scale_se3_trans(scale: float):
     return optax.GradientTransformation(lambda _: optax.EmptyState(), update_fn)
 
 
+def _stage_scaled(lr, cfg: OptimConfig, scale: float):
+    """Wrap a scalar lr or schedule so it is multiplied by `scale` during
+    the pose-recovery stage [pose_warmup_steps, stage_pose_until) — the
+    staged joint optimization of OptimConfig.stage_pose_until.  The
+    warmup window itself is NOT damped: there the scene fits the init
+    trajectory at full rate (pose lr is zero anyway)."""
+    if cfg.stage_pose_until <= 0 or scale == 1.0:
+        return lr
+    base = lr if callable(lr) else (lambda _: lr)
+    lo, hi = cfg.pose_warmup_steps, cfg.stage_pose_until
+
+    def sched(step):
+        in_stage = jnp.logical_and(step >= lo, step < hi)
+        return base(step) * jnp.where(in_stage, scale, 1.0)
+
+    return sched
+
+
 def make_optimizer(cfg: OptimConfig, scene_extent: float = 1.0):
     """Returns an optax GradientTransformation over the full param pytree."""
     means_sched = _exp_sched(
@@ -83,18 +101,19 @@ def make_optimizer(cfg: OptimConfig, scene_extent: float = 1.0):
             [cfg.pose_warmup_steps],
         )
     adam = lambda lr: optax.adam(lr, b1=0.9, b2=0.999, eps=1e-15)
-    pose_opt = adam(pose_sched)
+    scene = lambda lr: adam(_stage_scaled(lr, cfg, cfg.stage_scene_lr_scale))
+    pose_opt = adam(_stage_scaled(pose_sched, cfg, cfg.stage_pose_lr_scale))
     if cfg.pose_trans_lr_scale != 1.0:
         pose_opt = optax.chain(
             pose_opt, _scale_se3_trans(cfg.pose_trans_lr_scale)
         )
     groups = {
-        "means": adam(means_sched),
-        "quats": adam(cfg.quats_lr),
-        "scales": adam(cfg.scales_lr),
-        "opacities": adam(cfg.opacities_lr),
-        "sh_dc": adam(cfg.sh_dc_lr),
-        "sh_rest": adam(cfg.sh_dc_lr / cfg.sh_rest_lr_div),
+        "means": scene(means_sched),
+        "quats": scene(cfg.quats_lr),
+        "scales": scene(cfg.scales_lr),
+        "opacities": scene(cfg.opacities_lr),
+        "sh_dc": scene(cfg.sh_dc_lr),
+        "sh_rest": scene(cfg.sh_dc_lr / cfg.sh_rest_lr_div),
         "pose": pose_opt,
         "exposure": adam(cfg.exposure_lr),
         "crf": adam(cfg.crf_lr),

@@ -104,12 +104,21 @@ class TpuLock:
         return False
 
 
+_HELD: dict = {}  # path -> TpuLock already held by THIS process
+
+
 def acquire_chip(name: str, timeout_s: float = 120.0) -> Optional[TpuLock]:
     """Standard chip-client entry: take the lock for the process lifetime
     (the flock dies with the process).  CPU-forced processes skip it.
-    Raises SystemExit on timeout so supervisors see a clean failure."""
+    Re-entrant per process: a script that imports another chip script
+    (eval_aligned imports quality_run for its fixture builder) must not
+    deadlock against its own flock — separate open file descriptions of
+    the same file DO conflict within one process.  Raises SystemExit on
+    timeout so supervisors see a clean failure."""
     if os.environ.get("CHS_FORCE_CPU"):
         return None
+    if DEFAULT_PATH in _HELD:
+        return _HELD[DEFAULT_PATH]
     lock = TpuLock(name)
     if not lock.acquire(timeout_s=timeout_s):
         raise SystemExit(
@@ -117,4 +126,5 @@ def acquire_chip(name: str, timeout_s: float = 120.0) -> Optional[TpuLock]:
             f"{timeout_s:.0f}s — aborting {name} (one axon client at a "
             f"time; see CLAUDE.md)"
         )
+    _HELD[DEFAULT_PATH] = lock
     return lock

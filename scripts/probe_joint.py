@@ -68,6 +68,12 @@ def main():
     ap.add_argument("--c2f-steps", type=int, default=0)
     ap.add_argument("--c2f-sigma", type=float, default=8.0)
     ap.add_argument("--means-lr", type=float, default=1.6e-4)
+    # staged joint optimization (round 4): pose-recovery stage window +
+    # scene/pose lr scaling inside it, and the knot-delta anchor
+    ap.add_argument("--stage-until", type=int, default=0)
+    ap.add_argument("--stage-scene-scale", type=float, default=0.1)
+    ap.add_argument("--stage-pose-scale", type=float, default=1.0)
+    ap.add_argument("--pose-anchor-w", type=float, default=0.0)
     ap.add_argument("--densify", action="store_true")
     ap.add_argument("--shared-binning", action="store_true")
     ap.add_argument("--antialias", action="store_true")
@@ -166,6 +172,10 @@ def main():
     cfg.optim.pose_trans_lr_scale = args.pose_trans_lr_scale
     cfg.optim.pose_lr_init = args.pose_lr
     cfg.optim.exposure_lr = args.exposure_lr
+    cfg.optim.stage_pose_until = args.stage_until
+    cfg.optim.stage_scene_lr_scale = args.stage_scene_scale
+    cfg.optim.stage_pose_lr_scale = args.stage_pose_scale
+    cfg.loss.pose_anchor_weight = args.pose_anchor_w
     cfg.data.eval_every = 0
     cfg.log_every = 0
     cfg.eval_every = 0

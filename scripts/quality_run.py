@@ -31,11 +31,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from casualhdrsplat_tpu.utils import runtime  # noqa: E402
 from casualhdrsplat_tpu.utils.tpu_lock import acquire_chip  # noqa: E402
 
-# One chip client at a time (VERDICT r3 next-step 3): hold the advisory
-# flock for the process lifetime so benches/probes can never interleave
-# with (and contaminate or wedge) this run.  Dies with the process.
-_TPU_LOCK = acquire_chip("quality_run", timeout_s=120.0)
-
 runtime.setup()
 
 import jax  # noqa: E402
@@ -184,6 +179,13 @@ def main():
                          "session wall-clock is shorter than a full run, "
                          "so runs accumulate across sessions)")
     args = ap.parse_args()
+
+    # One chip client at a time (VERDICT r3 next-step 3): hold the
+    # advisory flock for the process lifetime so benches/probes can never
+    # interleave with (and contaminate or wedge) this run.  Taken in
+    # main(), not at import — eval_aligned imports this module for its
+    # fixture builder while already holding the lock itself.
+    acquire_chip("quality_run", timeout_s=120.0)
 
     t_start = time.time()
     ckpt_root = os.path.abspath(os.path.join(args.render_dir, "ckpt"))

@@ -66,3 +66,31 @@ def test_pose_trans_lr_scale_halves_translation_only():
     ref = np.asarray(u_ref["knot_deltas"])
     np.testing.assert_allclose(got[:, :3], ref[:, :3], rtol=1e-6)
     np.testing.assert_allclose(got[:, 3:], 0.25 * ref[:, 3:], rtol=1e-6)
+
+
+def test_staged_scene_lr_damping():
+    """Staged joint optimization (OptimConfig.stage_pose_until): scene
+    groups run at stage_scene_lr_scale x their lr between warmup and the
+    stage end, then return to full rate; pose can be boosted in-stage."""
+    cfg = OptimConfig(
+        pose_warmup_steps=2, stage_pose_until=5,
+        stage_scene_lr_scale=0.1, stage_pose_lr_scale=2.0, max_steps=20,
+    )
+    ref = optim.make_optimizer(OptimConfig(pose_warmup_steps=2, max_steps=20))
+    opt = optim.make_optimizer(cfg)
+    params = tiny_params()
+    st, st_ref = opt.init(params), ref.init(params)
+    grads = ones_like_grads(params)
+    for step in range(7):
+        u, st = opt.update(grads, st, params)
+        u_ref, st_ref = ref.update(grads, st_ref, params)
+        got = np.asarray(u["gaussians"]["quats"])
+        want = np.asarray(u_ref["gaussians"]["quats"])
+        pose = np.asarray(u["knot_deltas"])
+        pose_ref = np.asarray(u_ref["knot_deltas"])
+        if 2 <= step < 5:  # in-stage
+            np.testing.assert_allclose(got, 0.1 * want, rtol=1e-5)
+            np.testing.assert_allclose(pose, 2.0 * pose_ref, rtol=1e-5)
+        else:
+            np.testing.assert_allclose(got, want, rtol=1e-5)
+            np.testing.assert_allclose(pose, pose_ref, rtol=1e-5)

@@ -162,6 +162,22 @@ def test_shared_binning_self_guard(capsys):
     assert t2.cfg.model.rasterize.shared_binning
 
 
+def test_pose_anchor_pulls_deltas_to_init(tiny_dataset):
+    """LossConfig.pose_anchor_weight (co-warp brake): a dominant anchor
+    drives perturbed knot deltas back toward the SfM init."""
+    cfg = tiny_cfg()
+    cfg.loss.pose_anchor_weight = 10.0
+    cfg.optim.pose_lr_init = 1e-2
+    cfg.optim.pose_warmup_steps = 0
+    t = Trainer(cfg, tiny_dataset)
+    t.params["knot_deltas"] = jnp.full_like(t.params["knot_deltas"], 0.05)
+    n0 = float(jnp.linalg.norm(t.params["knot_deltas"]))
+    for _ in range(10):
+        t.run_step()
+    n1 = float(jnp.linalg.norm(t.params["knot_deltas"]))
+    assert n1 < 0.5 * n0, (n0, n1)
+
+
 def test_clipped_watchdog_arms_screen_prune(capsys):
     """Oversized-splat watchdog (VERDICT r3 Weak #2 / next-step 4): when
     the `clipped` counter blows past its observed floor, the trainer must
