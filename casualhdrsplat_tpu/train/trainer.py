@@ -498,6 +498,22 @@ class Trainer:
         )
         return ldr
 
+    @functools.partial(jax.jit, static_argnames=("self", "sh_degree"))
+    def _eval_render_deblurred_hdr(self, params, frame_id, sh_degree):
+        """Deblurred mid-exposure render in LINEAR HDR radiance (CRF
+        skipped) — the 'render HDR images' output (Readme.md:54), used by
+        the gauge-aligned HDR-recovery metric (VERDICT r3 next-step 5)."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            params = jax.tree.map(lambda x: jax.sharding.reshard(x, rep), params)
+        hdr, _, _ = imf.render_deblurred(
+            params, self.scene, frame_id, self.cfg.model,
+            hdr_output=True, sh_degree=sh_degree,
+        )
+        return hdr
+
     @functools.partial(jax.jit, static_argnames=("self",))
     def _metric_vector(self, pred, target):
         """[psnr, ssim, ms_ssim] as ONE device vector — evaluate() reads

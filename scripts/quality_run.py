@@ -63,6 +63,50 @@ def crf_recovery_rmse(params, crf_cfg, gamma: float):
     return {"rmse": best[0], "log_shift": best[1]}
 
 
+def hdr_recovery_metrics(t, video, eval_idx, deg, crf_cfg, gamma=2.2):
+    """Gauge-aligned HDR radiance recovery (VERDICT r3 Missing #2 /
+    next-step 5): the chain H x dt x CRF has a global scale gauge, so the
+    rendered linear-HDR deblurs are aligned to the fixture's GT radiance
+    by ONE least-squares scalar before scoring.
+
+    - eval_hdr_psnr: PSNR of the aligned HDR renders vs GT sharp_hdr,
+      peak = GT max (the 'render HDR images' half of Readme.md:54);
+    - exposure_sweep_psnr: end-to-end HDR exposure-editing fidelity —
+      CRF_pred(s * H_pred * dt) vs the GT chain clip(H_gt*dt)^(1/gamma)
+      across a 16x virtual-exposure sweep (teaser.png c.1); this couples
+      the recovered radiance, CRF and exposure gauges the way a USER's
+      editing slider would."""
+    import jax.numpy as jnp
+
+    from casualhdrsplat_tpu.models import crf as crf_mod
+
+    preds, gts = [], []
+    for i in eval_idx[:3]:
+        preds.append(np.asarray(
+            t._eval_render_deblurred_hdr(t.params, jnp.asarray(int(i)), deg)
+        ))
+        gts.append(np.asarray(video.sharp_hdr[int(i)]))
+    p, g = np.stack(preds), np.stack(gts)
+    s = float((p * g).sum() / max((p * p).sum(), 1e-12))
+    peak = float(g.max())
+    mse = float(((s * p - g) ** 2).mean())
+    hdr_psnr = 20 * np.log10(max(peak, 1e-12)) - 10 * np.log10(max(mse, 1e-12))
+
+    sweep = {}
+    for dt_v in (0.25, 1.0, 4.0):
+        ldr_pred = np.asarray(crf_mod.apply(
+            t.params["crf"], jnp.asarray(s * p[0] * dt_v), crf_cfg
+        ))
+        ldr_gt = np.clip(g[0] * dt_v, 0.0, 1.0) ** (1.0 / gamma)
+        m = float(((ldr_pred - ldr_gt) ** 2).mean())
+        sweep[str(dt_v)] = round(-10 * np.log10(max(m, 1e-12)), 3)
+    return {
+        "eval_hdr_psnr": round(hdr_psnr, 3),
+        "scale_gauge": round(s, 5),
+        "exposure_sweep_psnr": sweep,
+    }
+
+
 def build_fixture(knobs: dict):
     """Rebuild the deterministic GT fixture + Dataset from the knob dict
     persisted beside the checkpoint (ckpt/fixture.json) — shared by the
@@ -398,6 +442,9 @@ def main():
             "mean_abs_log_ratio_err": float(np.abs(got_c - gt_c).mean()),
         }
         crf_rec = crf_recovery_rmse(t.params["crf"], cfg.model.crf, gamma=2.2)
+        hdr_rec = hdr_recovery_metrics(
+            t, video, eval_idx, t.active_sh_degree(), cfg.model.crf
+        )
         rot1, trans1 = traj_errors()
         pose_rec = {
             "init_rot_deg_mean": float(rot0.mean()),
@@ -429,6 +476,7 @@ def main():
             ),
             "exposure_recovery": exposure_rec,
             "crf_recovery": crf_rec,
+            "hdr_recovery": hdr_rec,
             "pose_recovery": pose_rec,
             "psnr_curve": [
                 {k: (round(v, 4) if isinstance(v, float) else v)

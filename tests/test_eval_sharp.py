@@ -129,3 +129,55 @@ def test_deblurred_beats_blurry_input_after_training(rng):
     assert m["eval_sharp_psnr"] > m["eval_sharp_psnr_input"], (m0, m)
     # and pose refinement improved the sharp render itself
     assert m["eval_sharp_psnr"] > m0["eval_sharp_psnr"], (m0, m)
+
+
+def test_eval_render_deblurred_hdr_linear_output():
+    """HDR deblur render path (Readme.md:54 'render HDR images'): linear
+    radiance, CRF skipped, nonnegative, can exceed 1.0 on HDR content."""
+    import jax.numpy as jnp
+
+    ds = dataset_mod.make_synthetic_dataset(
+        seed=3, n_gaussians=50, n_frames=4, n_virtual=2, size=20, hdr_max=3.0
+    )
+    t = Trainer(_cfg(), ds)
+    hdr = t._eval_render_deblurred_hdr(t.params, jnp.asarray(1), 1)
+    assert hdr.shape == (20, 20, 3)
+    assert bool(jnp.all(hdr >= 0.0))
+    # same pose through the LDR path with gamma CRF: ldr = clip(hdr*dt)^(1/g)
+    ldr = t._eval_render_deblurred(t.params, jnp.asarray(1), 1)
+    from casualhdrsplat_tpu.models import image_formation as imf
+
+    dt = imf.exposure_of(t.params, 1)
+    want = jnp.clip(hdr * dt, 0.0, 1.0) ** (1.0 / t.cfg.model.crf.gamma)
+    np.testing.assert_allclose(np.asarray(ldr), np.asarray(want), atol=1e-5)
+
+
+def test_hdr_recovery_metrics_gauge_invariance():
+    """quality_run.hdr_recovery_metrics: a radiance field that matches GT
+    up to the global scale gauge scores near-perfect HDR PSNR and sweep
+    consistency (the alignment is exactly one scalar)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import types
+
+    import jax.numpy as jnp
+
+    from quality_run import hdr_recovery_metrics
+
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(0.05, 3.0, size=(2, 8, 8, 3)).astype(np.float32)
+
+    class StubT:
+        params = {"crf": {}}
+
+        def _eval_render_deblurred_hdr(self, params, fid, deg):
+            return jnp.asarray(gt[int(fid)] / 1.7)  # pure gauge offset
+
+    video = types.SimpleNamespace(sharp_hdr=gt)
+    crf_cfg = config.CRFConfig(kind="gamma", gamma=2.2)
+    m = hdr_recovery_metrics(StubT(), video, [0, 1], 1, crf_cfg)
+    assert m["eval_hdr_psnr"] > 60.0, m
+    np.testing.assert_allclose(m["scale_gauge"], 1.7, rtol=1e-4)
+    assert all(v > 60.0 for v in m["exposure_sweep_psnr"].values()), m
