@@ -34,7 +34,14 @@ from casualhdrsplat_tpu.train import optim as optim_mod
 
 
 class Trainer:
-    def __init__(self, cfg: TrainConfig, dataset: Optional[Dataset] = None):
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        dataset: Optional[Dataset] = None,
+        devices=None,
+    ):
+        # `devices`: explicit mesh devices (virtual-CPU dryruns / tests);
+        # default = jax.devices() via parallel.mesh.make_mesh.
         self.cfg = cfg
         self.dataset = dataset if dataset is not None else load_dataset(cfg.data)
         self.dataset.split(cfg.data.eval_every)
@@ -55,7 +62,7 @@ class Trainer:
             from casualhdrsplat_tpu.parallel import mesh as mesh_mod
             from casualhdrsplat_tpu.parallel import sharding as shard_mod
 
-            self.mesh = mesh_mod.make_mesh(cfg.parallel)
+            self.mesh = mesh_mod.make_mesh(cfg.parallel, devices=devices)
             self.params = shard_mod.shard_params(self.params, self.mesh)
         self.opt = optim_mod.make_optimizer(cfg.optim, self.scene_extent)
         self.opt_state = self.opt.init(self.params)
