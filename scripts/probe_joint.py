@@ -75,6 +75,14 @@ def main():
     ap.add_argument("--stage-pose-scale", type=float, default=1.0)
     ap.add_argument("--pose-anchor-w", type=float, default=0.0)
     ap.add_argument("--densify", action="store_true")
+    # training raster budget (round-4 ceiling-probe finding: mtpg 32
+    # truncates the visible footprint of near-camera ground splats that
+    # the GT renderer (mtpg 64) kept — black border bands, corrupted
+    # gradients, fat-splat runaway even at GT poses)
+    ap.add_argument("--mtpg", type=int, default=32)
+    ap.add_argument("--stream-factor", type=int, default=10)
+    ap.add_argument("--tile-capacity", type=int, default=1024)
+    ap.add_argument("--prune-screen-radius", type=float, default=0.15)
     ap.add_argument("--shared-binning", action="store_true")
     ap.add_argument("--antialias", action="store_true")
     ap.add_argument("--eval-every", type=int, default=250)
@@ -157,10 +165,12 @@ def main():
     cfg.loss.coarse_to_fine_steps = args.c2f_steps
     cfg.loss.coarse_sigma0 = args.c2f_sigma
     cfg.model.rasterize = config.RasterizeConfig(
-        tile_h=16, tile_w=16, tile_capacity=1024, max_tiles_per_gaussian=32,
-        chunk=256, backend="auto", stream_factor=10,
+        tile_h=16, tile_w=16, tile_capacity=args.tile_capacity,
+        max_tiles_per_gaussian=args.mtpg,
+        chunk=256, backend="auto", stream_factor=args.stream_factor,
         shared_binning=args.shared_binning, antialias=args.antialias,
     )
+    cfg.densify.prune_screen_radius = args.prune_screen_radius
     cfg.densify.enabled = bool(args.densify)
     cfg.densify.start_iter = max(300, args.c2f_steps // 2)
     cfg.densify.interval = 100
