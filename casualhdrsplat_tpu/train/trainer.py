@@ -79,6 +79,7 @@ class Trainer:
         self._clip_warn_at = 0.0
         self._screen_prune_armed = False
         self._guard_shared_binning()
+        self._guard_footprint_budget()
         self.images = jnp.asarray(self.dataset.images)
         self.step = 0
         self.key = jax.random.PRNGKey(cfg.seed + 1)
@@ -134,6 +135,63 @@ class Trainer:
                 f"budget {budget} rows) — training will waterfill-drop "
                 f"contributions. Raise model.rasterize.stream_factor or "
                 f"shrink footprints (docs/TUNING.md).",
+                flush=True,
+            )
+
+    def _guard_footprint_budget(self) -> None:
+        """Startup guard (round-4 root cause): if the INITIAL scene
+        already exceeds max_tiles_per_gaussian, the center-clamp truncates
+        VISIBLE coverage of splats the data requires — renders carry black
+        bands, those splats' gradients are corrupted, and training enters
+        a fatten-to-compensate runaway (measured: scene-only fit at GT
+        poses diverged 17.9 -> 14.2 dB at mtpg=32; converged to 45 dB at
+        mtpg=64 with nothing else changed).  One projection pass at the
+        first frame pose; loud warning when >0.1% of visible splats clip.
+        docs/TUNING.md 'clipped at step 0 is a correctness smell'."""
+        import numpy as np
+
+        from casualhdrsplat_tpu.models import gaussians as gauss_mod
+        from casualhdrsplat_tpu.ops.binning import tile_grid
+        from casualhdrsplat_tpu.ops.projection import (
+            cull_invisible, project_gaussians,
+        )
+
+        r = self.cfg.model.rasterize
+        g = {k: jnp.asarray(np.asarray(v))
+             for k, v in self.params["gaussians"].items()}
+        act = gauss_mod.activate(g)
+        proj = cull_invisible(
+            project_gaussians(
+                act.means3d, act.quats, act.scales,
+                jnp.asarray(self.dataset.viewmats[0]),
+                self.scene.fx, self.scene.fy, self.scene.cx, self.scene.cy,
+                self.scene.width, self.scene.height,
+                near_plane=r.near_plane, antialias=r.antialias,
+            ),
+            act.opacities,
+        )
+        m2 = np.asarray(proj.means2d)
+        rad = np.asarray(proj.radii)
+        val = np.asarray(proj.valid)
+        ntx, nty = tile_grid(self.scene.width, self.scene.height,
+                             r.tile_h, r.tile_w)
+        tx0 = np.clip(np.floor((m2[:, 0] - rad) / r.tile_w), 0, ntx - 1)
+        tx1 = np.clip(np.floor((m2[:, 0] + rad) / r.tile_w), 0, ntx - 1)
+        ty0 = np.clip(np.floor((m2[:, 1] - rad) / r.tile_h), 0, nty - 1)
+        ty1 = np.clip(np.floor((m2[:, 1] + rad) / r.tile_h), 0, nty - 1)
+        area = ((tx1 - tx0 + 1) * (ty1 - ty0 + 1))[val]
+        n_vis = max(len(area), 1)
+        n_over = int((area > r.max_tiles_per_gaussian).sum())
+        if n_over > max(1, int(1e-3 * n_vis)):
+            cut = int(np.maximum(area - r.max_tiles_per_gaussian, 0).sum())
+            print(
+                f"WARNING: {n_over}/{n_vis} visible splats of the INITIAL "
+                f"scene exceed max_tiles_per_gaussian={r.max_tiles_per_gaussian} "
+                f"({cut} bbox cells truncated at frame 0) — their visible "
+                f"coverage will be cut and training can enter a fat-splat "
+                f"runaway. Raise model.rasterize.max_tiles_per_gaussian "
+                f"(docs/TUNING.md: 'clipped at step 0 is a correctness "
+                f"smell').",
                 flush=True,
             )
 

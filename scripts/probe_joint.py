@@ -75,6 +75,10 @@ def main():
     ap.add_argument("--stage-pose-scale", type=float, default=1.0)
     ap.add_argument("--pose-anchor-w", type=float, default=0.0)
     ap.add_argument("--densify", action="store_true")
+    ap.add_argument("--densify-start", type=int, default=0,
+                    help="0 = legacy max(300, c2f/2); staged runs should "
+                         "start ADC after the pose-recovery stage so the "
+                         "co-warp is not baked into cloned splats")
     # training raster budget (round-4 ceiling-probe finding: mtpg 32
     # truncates the visible footprint of near-camera ground splats that
     # the GT renderer (mtpg 64) kept — black border bands, corrupted
@@ -172,7 +176,10 @@ def main():
     )
     cfg.densify.prune_screen_radius = args.prune_screen_radius
     cfg.densify.enabled = bool(args.densify)
-    cfg.densify.start_iter = max(300, args.c2f_steps // 2)
+    cfg.densify.start_iter = (
+        args.densify_start if args.densify_start > 0
+        else max(300, args.c2f_steps // 2)
+    )
     cfg.densify.interval = 100
     cfg.densify.stop_iter = int(args.steps * 0.6)
     cfg.densify.opacity_reset_interval = 10 * args.steps

@@ -326,8 +326,16 @@ def main():
     # chunk=256 keeps the SMEM chunk-metadata count bounded
     # (c_budget = rows/256 + tiles + 1 per stream); chunk=128 doubles it
     # and re-overflows SMEM at 131k capacity (the run-2 OOM).
+    # max_tiles_per_gaussian=64 (round 4): at mtpg=32 the GT-sized
+    # near-camera splats of the structured fixture exceed their binning
+    # footprint — the center-clamp truncates VISIBLE coverage (black
+    # border bands in every training render), the corrupted gradients
+    # drive a fat-splat runaway, and even a scene-only fit at GT poses
+    # diverges (r04 ceiling probe: 17.9 -> 14.2 dB).  mtpg=64 is the
+    # budget the GT renderer uses (zero clipped cells on the fixture
+    # cloud); with it the same fit reaches 45 dB / +12.9 dB gain.
     cfg.model.rasterize = config.RasterizeConfig(
-        tile_h=16, tile_w=16, tile_capacity=1024, max_tiles_per_gaussian=32,
+        tile_h=16, tile_w=16, tile_capacity=1024, max_tiles_per_gaussian=64,
         chunk=256, backend="auto", stream_factor=args.stream_factor,
         shared_binning=args.shared_binning, antialias=args.antialias,
     )

@@ -162,6 +162,31 @@ def test_shared_binning_self_guard(capsys):
     assert t2.cfg.model.rasterize.shared_binning
 
 
+def test_footprint_budget_guard_warns_at_startup(capsys):
+    """Round-4 guard: an initial scene whose splats exceed the
+    max_tiles_per_gaussian footprint must be flagged BEFORE training (the
+    truncated-coverage runaway diverged even a GT-pose fit)."""
+    ds = dataset_mod.make_synthetic_dataset(
+        seed=3, n_gaussians=60, n_frames=4, n_virtual=2, size=64
+    )
+    cfg = tiny_cfg()
+    cfg.model.rasterize = config.RasterizeConfig(
+        tile_h=8, tile_w=8, tile_capacity=128, max_tiles_per_gaussian=2,
+        chunk=32, backend="xla",
+    )
+    Trainer(cfg, ds)
+    out = capsys.readouterr().out
+    assert "max_tiles_per_gaussian" in out and "INITIAL" in out
+
+    # ...and a sufficient budget stays quiet
+    cfg.model.rasterize = config.RasterizeConfig(
+        tile_h=8, tile_w=8, tile_capacity=128, max_tiles_per_gaussian=64,
+        chunk=32, backend="xla",
+    )
+    Trainer(cfg, ds)
+    assert "INITIAL" not in capsys.readouterr().out
+
+
 def test_pose_anchor_pulls_deltas_to_init(tiny_dataset):
     """LossConfig.pose_anchor_weight (co-warp brake): a dominant anchor
     drives perturbed knot deltas back toward the SfM init."""
