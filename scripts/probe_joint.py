@@ -233,8 +233,10 @@ def main():
         err = np.abs((got - got.mean()) - (gt - gt.mean()))
         return {
             "rot": round(float(rot.mean()), 4),
+            "rot_med": round(float(np.median(rot)), 4),
             "rot_max": round(float(rot.max()), 4),
             "trans": round(float(trans.mean()), 5),
+            "trans_med": round(float(np.median(trans)), 5),
             "trans_max": round(float(trans.max()), 5),
             "exp": round(float(err.mean()), 4),
         }

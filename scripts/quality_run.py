@@ -678,6 +678,35 @@ def main():
             "eval_sharp_psnr_input": round(float(np.mean(in_p)), 4),
             "align_deltas": deltas,
         }
+        # Aligned TRUE novel-view synthesis (VERDICT r3 Weak #6): held-out
+        # frames, spline pose at the interpolated-exposure midpoint, same
+        # 6-DoF test-time alignment — at non-zero trajectory error the raw
+        # novel metric measures gauge, not synthesis quality.
+        holdout = list(t.dataset.eval_indices)
+        if holdout:
+            nv_raw, nv_al, nv_ssim = [], [], []
+            for i in holdout:
+                fid = jnp.asarray(int(i))
+                gt = jnp.asarray(ds.sharp_images[int(i)])
+                log_e = imf.interpolated_log_exposure(
+                    t.params, t.dataset.timestamps,
+                    t.dataset.train_indices, int(i),
+                )
+                dt = jnp.asarray(np.exp(log_e), jnp.float32)
+                t_mid = t.scene.timestamps[fid] + 0.5 * dt
+                vm = imf.poses_at(t.params, t.scene, jnp.array([t_mid]),
+                                  cfg.model)[0]
+                raw, _, _ = imf.render_pose(
+                    t.params, t.scene, vm, cfg.model, exposure=dt,
+                    sh_degree=deg,
+                )
+                aligned, _, _ = align(t.params, t.scene, vm, dt, gt)
+                nv_raw.append(float(losses.psnr(raw, gt)))
+                nv_al.append(float(losses.psnr(aligned, gt)))
+                nv_ssim.append(float(losses.ssim(aligned, gt)))
+            block["eval_novel_psnr_raw"] = round(float(np.mean(nv_raw)), 4)
+            block["eval_novel_psnr_aligned"] = round(float(np.mean(nv_al)), 4)
+            block["eval_novel_ssim_aligned"] = round(float(np.mean(nv_ssim)), 4)
         with open(args.out) as f:
             report = json.load(f)
         report["final_eval_aligned"] = block
