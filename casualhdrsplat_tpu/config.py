@@ -219,6 +219,12 @@ class DataConfig:
     path: str = ""
     downscale: int = 1
     eval_every: int = 8  # every k-th frame held out
+    # Incremental frame scheduling (BAD-Gaussians-lineage practice for
+    # joint pose recovery): when > 0, training samples only the first
+    # 2 + step // incremental_frame_steps train frames (timestamp order),
+    # so pose/scene consensus forms on a short window before later
+    # exposure windows join.  0 = sample the whole sequence (default).
+    incremental_frame_steps: int = 0
 
 
 @dataclass

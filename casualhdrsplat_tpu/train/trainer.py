@@ -357,7 +357,12 @@ class Trainer:
         )
 
     def run_step(self) -> Dict[str, float]:
-        frame = int(self._rng.choice(self.dataset.train_indices))
+        pool = self.dataset.train_indices
+        inc = self.cfg.data.incremental_frame_steps
+        if inc > 0:
+            # growing-prefix curriculum (DataConfig.incremental_frame_steps)
+            pool = pool[: min(2 + self.step // inc, len(pool))]
+        frame = int(self._rng.choice(pool))
         self.params, self.opt_state, self.adc, scalars = self._train_step(
             self.params, self.opt_state, self.adc, self.images,
             jnp.asarray(frame), jnp.asarray(self._c2f_sigma(), jnp.float32),

@@ -74,6 +74,9 @@ def main():
     ap.add_argument("--stage-scene-scale", type=float, default=0.1)
     ap.add_argument("--stage-pose-scale", type=float, default=1.0)
     ap.add_argument("--pose-anchor-w", type=float, default=0.0)
+    ap.add_argument("--inc-frames", type=int, default=0,
+                    help="incremental frame curriculum: unlock one more "
+                         "train frame every N steps (0 = off)")
     ap.add_argument("--densify", action="store_true")
     ap.add_argument("--densify-start", type=int, default=0,
                     help="0 = legacy max(300, c2f/2); staged runs should "
@@ -194,6 +197,7 @@ def main():
     cfg.optim.stage_pose_lr_scale = args.stage_pose_scale
     cfg.loss.pose_anchor_weight = args.pose_anchor_w
     cfg.data.eval_every = 0
+    cfg.data.incremental_frame_steps = args.inc_frames
     cfg.log_every = 0
     cfg.eval_every = 0
     cfg.checkpoint_every = 0

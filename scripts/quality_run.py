@@ -213,6 +213,9 @@ def main():
     ap.add_argument("--stage-pose-scale", type=float, default=1.0)
     ap.add_argument("--pose-anchor-w", type=float, default=0.0)
     ap.add_argument("--densify-start", type=int, default=500)
+    ap.add_argument("--inc-frames", type=int, default=0,
+                    help="incremental frame curriculum: unlock one more "
+                         "train frame every N steps (0 = off)")
     ap.add_argument("--antialias", action="store_true")
     # Hold out every k-th frame from training and score TRUE novel-view
     # synthesis on them (pose from the spline, exposure interpolated from
@@ -280,6 +283,7 @@ def main():
                   args.stage_pose_scale],
         "pose_anchor_w": args.pose_anchor_w,
         "densify_start": args.densify_start,
+        "inc_frames": args.inc_frames,
     }
     print("generating GT fixture...", flush=True)
     # Fixture tuned with AT-SPEC 800^2 probes (scripts/probe_fixture.py —
@@ -358,6 +362,7 @@ def main():
     cfg.densify.prune_screen_radius = 0.10
     cfg.optim.max_steps = args.steps
     cfg.data.eval_every = args.holdout_every
+    cfg.data.incremental_frame_steps = args.inc_frames
     cfg.log_every = 100
     cfg.eval_every = 0  # evals driven from here (curve below)
     cfg.checkpoint_every = 0
