@@ -169,6 +169,13 @@ class OptimConfig:
     stage_pose_until: int = 0
     stage_scene_lr_scale: float = 0.1
     stage_pose_lr_scale: float = 1.0
+    # Adam beta1 for the pose group.  Knot gradients are SPARSE (one
+    # random frame per step touches ~one spline support), but Adam keeps
+    # applying the momentum of the last sampled gradient to every knot at
+    # every step — between visits a knot takes ~1/(1-b1) extra lr-sized
+    # steps in a stale direction.  b1=0 makes unsampled knots hold still
+    # (their grads are exactly zero).
+    pose_b1: float = 0.9
     exposure_lr: float = 1e-3
     # Measured (supervised gamma-2.2 recovery, 6k Adam steps, h=32):
     # lr 1e-3 stalls at rmse 0.049 — a ~22 dB reconstruction ceiling for

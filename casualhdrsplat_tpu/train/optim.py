@@ -102,7 +102,10 @@ def make_optimizer(cfg: OptimConfig, scene_extent: float = 1.0):
         )
     adam = lambda lr: optax.adam(lr, b1=0.9, b2=0.999, eps=1e-15)
     scene = lambda lr: adam(_stage_scaled(lr, cfg, cfg.stage_scene_lr_scale))
-    pose_opt = adam(_stage_scaled(pose_sched, cfg, cfg.stage_pose_lr_scale))
+    pose_opt = optax.adam(
+        _stage_scaled(pose_sched, cfg, cfg.stage_pose_lr_scale),
+        b1=cfg.pose_b1, b2=0.999, eps=1e-15,
+    )
     if cfg.pose_trans_lr_scale != 1.0:
         pose_opt = optax.chain(
             pose_opt, _scale_se3_trans(cfg.pose_trans_lr_scale)

@@ -94,3 +94,27 @@ def test_staged_scene_lr_damping():
         else:
             np.testing.assert_allclose(got, want, rtol=1e-5)
             np.testing.assert_allclose(pose, pose_ref, rtol=1e-5)
+
+
+def test_pose_b1_zero_freezes_unsampled_knots():
+    """OptimConfig.pose_b1=0: a knot whose gradient is zero this step gets
+    a zero update (no stale momentum) — per-frame sampling makes knot
+    grads sparse, and default Adam keeps pushing unsampled knots with the
+    momentum of their last visit."""
+    cfg = OptimConfig(pose_b1=0.0, max_steps=20)
+    opt = optim.make_optimizer(cfg)
+    params = tiny_params()
+    st = opt.init(params)
+    g1 = ones_like_grads(params)
+    u, st = opt.update(g1, st, params)
+    assert float(np.abs(np.asarray(u["knot_deltas"])).max()) > 0
+    # next step: knot grads all zero -> update must be exactly zero
+    g2 = jax.tree.map(jnp.zeros_like, g1)
+    u, st = opt.update(g2, st, params)
+    np.testing.assert_array_equal(np.asarray(u["knot_deltas"]), 0.0)
+    # default b1 keeps moving on stale momentum (the contrast)
+    opt_m = optim.make_optimizer(OptimConfig(max_steps=20))
+    st_m = opt_m.init(params)
+    _, st_m = opt_m.update(g1, st_m, params)
+    u_m, _ = opt_m.update(g2, st_m, params)
+    assert float(np.abs(np.asarray(u_m["knot_deltas"])).max()) > 0
