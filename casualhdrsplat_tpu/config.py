@@ -169,6 +169,17 @@ class OptimConfig:
     stage_pose_until: int = 0
     stage_scene_lr_scale: float = 0.1
     stage_pose_lr_scale: float = 1.0
+    # Alternating block-coordinate stage (round 4): when alt_period > 0,
+    # the stage window [pose_warmup_steps, stage_pose_until) cycles —
+    # the first alt_pose_frac of each period is a POSE phase (scene lrs
+    # x stage_scene_lr_scale, pose lr x stage_pose_lr_scale), the rest a
+    # SCENE phase (pose lr x 0, scene at full rate).  Rationale: the
+    # test-time 6-DoF aligner recovers large pose offsets against a
+    # FROZEN scene in ~64 steps, while fully-joint descent lets the scene
+    # absorb the blur through the translation channel (r04 staged-v1
+    # probe: trans ATE 0.085 -> 0.31 while train PSNR rose 4.5 dB).
+    alt_period: int = 0
+    alt_pose_frac: float = 0.5
     # Adam beta1 for the pose group.  Knot gradients are SPARSE (one
     # random frame per step touches ~one spline support), but Adam keeps
     # applying the momentum of the last sampled gradient to every knot at

@@ -371,6 +371,8 @@ class Trainer:
         self.step += 1
         d = self.cfg.densify
         in_window = d.enabled and d.start_iter <= self.step <= d.stop_iter
+        if in_window and optim_mod.stage_pose_phase(self.cfg.optim, self.step):
+            in_window = False  # never restructure the scene mid pose-phase
         if in_window and self.step % d.interval == 0:
             self.key, sub = jax.random.split(self.key)
             self.params, self.opt_state, self.adc, report = self._densify(

@@ -74,6 +74,8 @@ def main():
     ap.add_argument("--stage-scene-scale", type=float, default=0.1)
     ap.add_argument("--stage-pose-scale", type=float, default=1.0)
     ap.add_argument("--pose-anchor-w", type=float, default=0.0)
+    ap.add_argument("--alt-period", type=int, default=0)
+    ap.add_argument("--alt-pose-frac", type=float, default=0.5)
     ap.add_argument("--pose-b1", type=float, default=0.9)
     ap.add_argument("--inc-frames", type=int, default=0,
                     help="incremental frame curriculum: unlock one more "
@@ -194,6 +196,8 @@ def main():
     cfg.optim.pose_lr_init = args.pose_lr
     cfg.optim.exposure_lr = args.exposure_lr
     cfg.optim.pose_b1 = args.pose_b1
+    cfg.optim.alt_period = args.alt_period
+    cfg.optim.alt_pose_frac = args.alt_pose_frac
     cfg.optim.stage_pose_until = args.stage_until
     cfg.optim.stage_scene_lr_scale = args.stage_scene_scale
     cfg.optim.stage_pose_lr_scale = args.stage_pose_scale
