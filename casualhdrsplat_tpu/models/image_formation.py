@@ -104,11 +104,23 @@ def init_params(
 
 
 def effective_knots(params: Params, scene: SceneStatic) -> jnp.ndarray:
-    """knot_j = base_j @ exp(delta_j): pose optimization as Lie-algebra
+    """knot_j = exp(delta_j) @ base_j: pose optimization as Lie-algebra
     deltas composed onto fixed SfM initializations (SURVEY.md C12, the
-    idiomatic JAX replacement for pypose manifold Adam)."""
+    idiomatic JAX replacement for pypose manifold Adam).
+
+    LEFT-multiplication (camera-frame deltas) is load-bearing, not a
+    convention nicety.  base_j is world-to-camera, so a RIGHT-multiplied
+    delta perturbs in the WORLD frame: its rotation entries rotate the
+    camera about the WORLD ORIGIN, moving the camera center with a lever
+    arm of the whole scene distance — orientation and position entangle
+    at ~2 units/radian, and Adam's per-coordinate scaling cannot separate
+    them (measured, r04 probes: translation ATE grew 0.085 -> 0.23 with
+    the translation halves of the updates FROZEN at zero).  Camera-frame
+    deltas decouple: rotation spins the camera in place, translation
+    moves it in camera axes — the same parametrization the test-time
+    aligner (train/pose_align.py) always used."""
     return lie.mat_mul(
-        scene.base_knots, lie.se3_exp_batch(params["knot_deltas"])
+        lie.se3_exp_batch(params["knot_deltas"]), scene.base_knots
     )
 
 

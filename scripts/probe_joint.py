@@ -216,7 +216,7 @@ def main():
         gt = jnp.asarray(video.knots)
         assert base.shape == gt.shape, (base.shape, gt.shape)
         t.params["knot_deltas"] = jax.vmap(
-            lambda b, g: lie.se3_log(lie.mat_mul(lie.se3_inverse(b), g))
+            lambda b, g: lie.se3_log(lie.mat_mul(g, lie.se3_inverse(b)))
         )(base, gt)
     else:
         t.params["knot_deltas"] = args.pose_sigma * jax.random.normal(

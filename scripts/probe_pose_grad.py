@@ -124,7 +124,7 @@ def main():
     base = t.scene.base_knots
     gt = jnp.asarray(video.knots)
     deltas_gt = jax.vmap(
-        lambda b, g_: lie.se3_log(lie.mat_mul(lie.se3_inverse(b), g_))
+        lambda b, g_: lie.se3_log(lie.mat_mul(g_, lie.se3_inverse(b)))
     )(base, gt)
 
     scene, model_cfg = t.scene, t.cfg.model

@@ -150,3 +150,29 @@ def test_sh_shared_view(setup):
     assert float(jnp.abs(g["gaussians"]["sh_dc"]).max()) > 0
     assert float(jnp.abs(g["gaussians"]["sh_rest"]).max()) > 0
     assert float(jnp.abs(g["knot_deltas"]).max()) > 0
+
+
+def test_knot_deltas_are_camera_frame(setup):
+    """Pose deltas compose on the LEFT (camera frame): a rotation-only
+    delta must spin each knot camera IN PLACE — identical camera centers
+    — and a translation-only delta must move the center by exactly its
+    magnitude.  The right-multiplied (world-frame) form rotates cameras
+    about the world origin, entangling orientation with position at
+    scene-radius scale (r04 joint-divergence root cause)."""
+    ds, cfg, scene, params = setup
+    m = scene.base_knots.shape[0]
+
+    def centers(knots):
+        inv = np.linalg.inv(np.asarray(knots, np.float64))
+        return inv[:, :3, 3]
+
+    rot_only = jnp.zeros((m, 6)).at[:, 0].set(0.2)  # 0.2 rad about cam-x
+    p = dict(params, knot_deltas=rot_only)
+    np.testing.assert_allclose(
+        centers(imf.effective_knots(p, scene)),
+        centers(scene.base_knots), atol=1e-5,
+    )
+    trans_only = jnp.zeros((m, 6)).at[:, 5].set(0.3)  # 0.3 along cam-z
+    p = dict(params, knot_deltas=trans_only)
+    d = centers(imf.effective_knots(p, scene)) - centers(scene.base_knots)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 0.3, atol=1e-5)
