@@ -212,6 +212,13 @@ def main():
     ap.add_argument("--stage-scene-scale", type=float, default=0.1)
     ap.add_argument("--stage-pose-scale", type=float, default=1.0)
     ap.add_argument("--pose-anchor-w", type=float, default=0.0)
+    # r04 pose-divergence findings (probe series, outputs/probe_logs/):
+    # momentum-free pose Adam — sparse per-frame knot grads + stale b1
+    # momentum random-walked the trajectory (trans ATE 3x in 500 steps
+    # with translation updates FROZEN); b1=0 held it flat.
+    ap.add_argument("--pose-b1", type=float, default=0.0)
+    ap.add_argument("--alt-period", type=int, default=0)
+    ap.add_argument("--alt-pose-frac", type=float, default=0.5)
     ap.add_argument("--densify-start", type=int, default=500)
     ap.add_argument("--inc-frames", type=int, default=0,
                     help="incremental frame curriculum: unlock one more "
@@ -284,6 +291,8 @@ def main():
         "pose_anchor_w": args.pose_anchor_w,
         "densify_start": args.densify_start,
         "inc_frames": args.inc_frames,
+        "pose_b1": args.pose_b1,
+        "alt": [args.alt_period, args.alt_pose_frac],
     }
     print("generating GT fixture...", flush=True)
     # Fixture tuned with AT-SPEC 800^2 probes (scripts/probe_fixture.py —
@@ -318,6 +327,9 @@ def main():
     cfg.optim.stage_pose_until = args.stage_until
     cfg.optim.stage_scene_lr_scale = args.stage_scene_scale
     cfg.optim.stage_pose_lr_scale = args.stage_pose_scale
+    cfg.optim.pose_b1 = args.pose_b1
+    cfg.optim.alt_period = args.alt_period
+    cfg.optim.alt_pose_frac = args.alt_pose_frac
     # Binning regime is flag-driven (--shared-binning / --stream-factor);
     # both regimes were tuned against at-spec probes in round 2:
     # - PER-VIEW (exact): run 7 measured ~0.94M rows/view demand at full
