@@ -23,7 +23,8 @@ import time
 import numpy as np
 
 
-def build(n_gaussians=100_000, size=800, n_virtual=4):
+def build(n_gaussians=100_000, size=800, n_virtual=4, chunk=128,
+          stream_factor=6, tile=(16, 16)):
     import jax
     import jax.numpy as jnp
 
@@ -43,8 +44,9 @@ def build(n_gaussians=100_000, size=800, n_virtual=4):
     viewmats = spline.cubic_bspline_interpolation(knots, -2.0, 1.0, t_k)
 
     cfg = RasterizeConfig(
-        tile_h=16, tile_w=16, tile_capacity=1024, max_tiles_per_gaussian=32,
-        chunk=128, backend="auto",
+        tile_h=tile[0], tile_w=tile[1], tile_capacity=1024,
+        max_tiles_per_gaussian=32, chunk=chunk, backend="auto",
+        stream_factor=stream_factor,
     )
     crf_cfg = CRFConfig(kind="mlp")
     crf_params = crf_mod.create(crf_cfg)
@@ -211,7 +213,20 @@ def main():
         dg += ["1"] * (2 - len(dg))  # "--sharded 4" means a 4x1 mesh
         step, args, pixels = build_sharded(data=int(dg[0]), gauss=int(dg[1]))
     else:
-        step, args, pixels = build()
+        # kernel-schedule sweep knobs (perf tuning only; the recorded
+        # metric uses the defaults): --chunk N, --stream-factor N,
+        # --tile HxW
+        def _arg(flag, default, cast):
+            if flag in sys.argv:
+                return cast(sys.argv[sys.argv.index(flag) + 1])
+            return default
+
+        step, args, pixels = build(
+            chunk=_arg("--chunk", 128, int),
+            stream_factor=_arg("--stream-factor", 6, int),
+            tile=_arg("--tile", (16, 16),
+                      lambda s: tuple(int(x) for x in s.split("x"))),
+        )
 
     l, grads = step(*args)  # compile
     assert np.isfinite(float(l)), float(l)  # host readback = real sync
