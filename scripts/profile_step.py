@@ -196,6 +196,22 @@ def main():
     t["fwd_kernel"] = profiling.time_fn(stage_fwd_kernel, stream, iters=it)
     t["fwd+bwd_kernel"] = profiling.time_fn(stage_fwdbwd_kernel, stream, iters=it)
     t["crf+loss"] = profiling.time_fn(stage_crf_loss, imgs_const, iters=it)
+
+    # VJP of the row gather alone: its transpose is a [v*s_budget,16]
+    # scatter-add onto payload rows — the prime suspect for the backward
+    # glue (CLAUDE.md: row-granular scatters 10-25 ns/row).
+    payload_const = jnp.zeros((n + 1, binning.PAYLOAD_DIM), jnp.float32)
+
+    @jax.jit
+    def stage_gather_bwd(payload, ids):
+        def f(p):
+            rows = jax.vmap(lambda _: p[ids])(jnp.arange(v))
+            return jnp.sum(rows ** 2)
+        return jax.grad(f)(payload)
+
+    t["gather_bwd"] = profiling.time_fn(
+        stage_gather_bwd, payload_const, ids, iters=it
+    )
     t["FULL_fwd"] = profiling.time_fn(full_fwd, cloud.means3d, iters=it)
     t["FULL_fwd+bwd"] = profiling.time_fn(
         full_fwdbwd, cloud.means3d, jnp.log(cloud.scales), opa_logit,
