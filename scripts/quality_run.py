@@ -87,6 +87,13 @@ def hdr_recovery_metrics(t, video, eval_idx, deg, crf_cfg, gamma=2.2):
         ))
         gts.append(np.asarray(video.sharp_hdr[int(i)]))
     p, g = np.stack(preds), np.stack(gts)
+    if p.shape != g.shape:
+        # coarse curriculum rung: deblurs render at the rung resolution —
+        # score against the box-downscaled GT radiance (area average,
+        # same filter Dataset.downscaled applies to the LDR frames)
+        k = g.shape[1] // p.shape[1]
+        b, h, w, _ = p.shape
+        g = g.reshape(b, h, k, w, k, 3).mean(axis=(2, 4))
     s = float((p * g).sum() / max((p * p).sum(), 1e-12))
     peak = float(g.max())
     mse = float(((s * p - g) ** 2).mean())
@@ -665,7 +672,7 @@ def main():
         raw_p, al_p, al_s, in_p, deltas = [], [], [], [], []
         for i in eval_idx:
             fid = jnp.asarray(int(i))
-            gt = jnp.asarray(ds.sharp_images[int(i)])
+            gt = jnp.asarray(t.dataset.sharp_images[int(i)])
             dt = imf.exposure_of(t.params, fid)
             t_mid = t.scene.timestamps[fid] + 0.5 * dt
             vm = imf.poses_at(t.params, t.scene, jnp.array([t_mid]),
@@ -677,7 +684,7 @@ def main():
             raw_p.append(float(losses.psnr(raw, gt)))
             al_p.append(float(losses.psnr(aligned, gt)))
             al_s.append(float(losses.ssim(aligned, gt)))
-            in_p.append(float(losses.psnr(jnp.asarray(ds.images[int(i)]), gt)))
+            in_p.append(float(losses.psnr(jnp.asarray(t.dataset.images[int(i)]), gt)))
             d = np.asarray(delta)
             deltas.append({
                 "frame": int(i),
@@ -704,7 +711,7 @@ def main():
             nv_raw, nv_al, nv_ssim = [], [], []
             for i in holdout:
                 fid = jnp.asarray(int(i))
-                gt = jnp.asarray(ds.sharp_images[int(i)])
+                gt = jnp.asarray(t.dataset.sharp_images[int(i)])
                 log_e = imf.interpolated_log_exposure(
                     t.params, t.dataset.timestamps,
                     t.dataset.train_indices, int(i),
