@@ -19,6 +19,7 @@ outputs/quality/.  Run on the TPU chip: `python scripts/quality_run.py`.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -212,6 +213,8 @@ def main():
     # pose basin at 1/k^2 the step cost.
     ap.add_argument("--coarse-steps", type=int, default=0)
     ap.add_argument("--coarse-downscale", type=int, default=2)
+    # full-resolution-rung footprint budget (see make_trainer below)
+    ap.add_argument("--mtpg-full", type=int, default=128)
     # Staged joint optimization (VERDICT r3 next-step 1a/1c): scene lrs
     # damped between pose warmup and --stage-until; L2 anchor on the knot
     # deltas against scene/spline co-warp.
@@ -388,6 +391,17 @@ def main():
     cfg.out_dir = args.render_dir
 
     def make_trainer(active_ds):
+        # Footprint budget scales with focal^2 (docs/TUNING.md): splats
+        # legitimately sized for the coarse rung can exceed mtpg at full
+        # resolution (measured at promotion: 197/24.6k visible splats
+        # clipped at 800^2 under mtpg=64, clipped counter 100 -> 172k).
+        # The stream budget (stream_factor x capacity) is unchanged by
+        # mtpg, so give the full-res rung the headroom it needs.
+        rung_full = active_ds.width >= args.size
+        cfg.model.rasterize = dataclasses.replace(
+            cfg.model.rasterize,
+            max_tiles_per_gaussian=args.mtpg_full if rung_full else 64,
+        )
         tt = Trainer(cfg, active_ds)
         # COLMAP-on-blurry-frames initial poses are noisy: perturb the
         # knots so the run demonstrates JOINT pose estimation, not
