@@ -227,6 +227,12 @@ def main():
     # momentum random-walked the trajectory (trans ATE 3x in 500 steps
     # with translation updates FROZEN); b1=0 held it flat.
     ap.add_argument("--pose-b1", type=float, default=0.0)
+    # Keep pose refinement ALIVE through the full-resolution leg: the
+    # stock 3DGS-style 1e-3 -> 1e-5 decay leaves ~1e-4 by mid-run, right
+    # when promotion to 800^2 finally gives the pose gradient its
+    # fine-detail signal (step-2000 eval: rot error flat at 2.13 deg with
+    # the schedule already down 10x).
+    ap.add_argument("--pose-lr-final", type=float, default=1e-4)
     ap.add_argument("--alt-period", type=int, default=0)
     ap.add_argument("--alt-pose-frac", type=float, default=0.5)
     ap.add_argument("--densify-start", type=int, default=500)
@@ -338,6 +344,7 @@ def main():
     cfg.optim.stage_scene_lr_scale = args.stage_scene_scale
     cfg.optim.stage_pose_lr_scale = args.stage_pose_scale
     cfg.optim.pose_b1 = args.pose_b1
+    cfg.optim.pose_lr_final = args.pose_lr_final
     cfg.optim.alt_period = args.alt_period
     cfg.optim.alt_pose_frac = args.alt_pose_frac
     # Binning regime is flag-driven (--shared-binning / --stream-factor);
