@@ -187,6 +187,15 @@ class OptimConfig:
     # steps in a stale direction.  b1=0 makes unsampled knots hold still
     # (their grads are exactly zero).
     pose_b1: float = 0.9
+    # Restart the pose exp-decay clock at this step (0 = off).  Use with
+    # the multi-resolution curriculum: promotion to full resolution is
+    # when the pose gradient first sees fine detail, but the stock decay
+    # has already cooled the pose lr ~2x by then (r04 step-2000 eval: rot
+    # error flat at 2.13 deg with the schedule down 10x under the
+    # pre-floor decay).  Re-warming evaluates the same schedule as if
+    # the warmup had just ended, i.e. full pose_lr_init at the rewarm
+    # boundary decaying over the remaining steps.
+    pose_lr_rewarm_step: int = 0
     exposure_lr: float = 1e-3
     # Measured (supervised gamma-2.2 recovery, 6k Adam steps, h=32):
     # lr 1e-3 stalls at rmse 0.049 — a ~22 dB reconstruction ceiling for

@@ -109,13 +109,10 @@ def stage_pose_phase(cfg: OptimConfig, step) -> bool:
     return ((step - lo) % cfg.alt_period) / cfg.alt_period < cfg.alt_pose_frac
 
 
-def make_optimizer(cfg: OptimConfig, scene_extent: float = 1.0):
-    """Returns an optax GradientTransformation over the full param pytree."""
-    means_sched = _exp_sched(
-        cfg.means_lr_init * scene_extent,
-        cfg.means_lr_final * scene_extent,
-        cfg.max_steps,
-    )
+def pose_schedule(cfg: OptimConfig):
+    """Pose-group lr schedule: warmup-at-zero, exp decay, and (optional)
+    a decay-clock restart at cfg.pose_lr_rewarm_step — the curriculum
+    promotion re-warm (docs/JOINT_RECOVERY.md "next quality lever")."""
     pose_sched = _exp_sched(
         cfg.pose_lr_init, cfg.pose_lr_final,
         max(cfg.max_steps - cfg.pose_warmup_steps, 1),
@@ -125,6 +122,28 @@ def make_optimizer(cfg: OptimConfig, scene_extent: float = 1.0):
             [optax.constant_schedule(0.0), pose_sched],
             [cfg.pose_warmup_steps],
         )
+    if cfg.pose_lr_rewarm_step > 0 and callable(pose_sched):
+        base, boundary = pose_sched, cfg.pose_lr_rewarm_step
+
+        def rewarmed(step):
+            s = jnp.asarray(step)
+            # past the boundary, evaluate the base schedule as if the
+            # warmup had just ended `s - boundary` steps ago
+            restarted = base(cfg.pose_warmup_steps + (s - boundary))
+            return jnp.where(s < boundary, base(s), restarted)
+
+        pose_sched = rewarmed
+    return pose_sched
+
+
+def make_optimizer(cfg: OptimConfig, scene_extent: float = 1.0):
+    """Returns an optax GradientTransformation over the full param pytree."""
+    means_sched = _exp_sched(
+        cfg.means_lr_init * scene_extent,
+        cfg.means_lr_final * scene_extent,
+        cfg.max_steps,
+    )
+    pose_sched = pose_schedule(cfg)
     adam = lambda lr: optax.adam(lr, b1=0.9, b2=0.999, eps=1e-15)
     scene = lambda lr: adam(_stage_scaled(lr, cfg, cfg.stage_scene_lr_scale))
     pose_opt = optax.adam(

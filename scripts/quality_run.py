@@ -233,6 +233,10 @@ def main():
     # fine-detail signal (step-2000 eval: rot error flat at 2.13 deg with
     # the schedule already down 10x).
     ap.add_argument("--pose-lr-final", type=float, default=1e-4)
+    # Restart the pose decay clock at curriculum promotion (full pose lr
+    # exactly when the gradient first sees full-resolution detail) —
+    # docs/JOINT_RECOVERY.md "next quality lever".
+    ap.add_argument("--pose-rewarm", action="store_true")
     ap.add_argument("--alt-period", type=int, default=0)
     ap.add_argument("--alt-pose-frac", type=float, default=0.5)
     ap.add_argument("--densify-start", type=int, default=500)
@@ -345,6 +349,8 @@ def main():
     cfg.optim.stage_pose_lr_scale = args.stage_pose_scale
     cfg.optim.pose_b1 = args.pose_b1
     cfg.optim.pose_lr_final = args.pose_lr_final
+    if args.pose_rewarm and args.coarse_steps > 0:
+        cfg.optim.pose_lr_rewarm_step = args.coarse_steps
     cfg.optim.alt_period = args.alt_period
     cfg.optim.alt_pose_frac = args.alt_pose_frac
     # Binning regime is flag-driven (--shared-binning / --stream-factor);

@@ -151,3 +151,30 @@ def test_alternating_stage_phases():
             np.testing.assert_allclose(scene, scene_ref, rtol=1e-5)
             np.testing.assert_allclose(pose, pose_ref, rtol=1e-5)
         assert optim.stage_pose_phase(cfg, step) == pose_phase
+
+
+def test_pose_lr_rewarm_restarts_decay_at_promotion():
+    """pose_lr_rewarm_step restarts the exp-decay clock: full
+    pose_lr_init at the rewarm boundary, identical decay shape after
+    (docs/JOINT_RECOVERY.md promotion re-warm)."""
+    cfg = OptimConfig(
+        pose_warmup_steps=10, max_steps=100, pose_lr_init=1e-3,
+        pose_lr_final=1e-5, pose_lr_rewarm_step=50,
+    )
+    sched = optim.pose_schedule(cfg)
+    base = optim.pose_schedule(
+        OptimConfig(pose_warmup_steps=10, max_steps=100,
+                    pose_lr_init=1e-3, pose_lr_final=1e-5)
+    )
+    # before the boundary: untouched (incl. the warmup freeze)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(30)), float(base(30)), rtol=1e-6)
+    # the step before the boundary has decayed well below init
+    assert float(sched(49)) < 0.7 * cfg.pose_lr_init
+    # at the boundary: back to full init
+    np.testing.assert_allclose(
+        float(sched(50)), cfg.pose_lr_init, rtol=1e-5)
+    # after: same decay law, shifted — sched(50+d) == base(10+d)
+    for d in (1, 13, 40):
+        np.testing.assert_allclose(
+            float(sched(50 + d)), float(base(10 + d)), rtol=1e-6)
