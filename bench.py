@@ -235,16 +235,26 @@ def main():
     # backend (measured: returns in 0.04 ms while the computation runs for
     # seconds).  Chain losses on device and read ONE scalar back at the
     # end — the data dependency forces every step to complete.
-    n_iter = 20
-    t0 = time.time()
-    acc = 0.0
-    for _ in range(n_iter):
-        l, grads = step(*args)
-        acc = acc + l
-    assert np.isfinite(float(acc))
-    dt = (time.time() - t0) / n_iter
+    #
+    # MEDIAN of >=3 back-to-back windows (VERDICT r4 Weak #4: a
+    # single-shot bench could not distinguish the 16.4-vs-14.5 same-code
+    # spread from regression).  Each window is independently synced by its
+    # own host readback; the JSON line carries the spread so a noisy
+    # capture is visible in the recorded artifact itself.
+    n_windows, n_iter = 3, 12
+    rates = []
+    for _ in range(n_windows):
+        t0 = time.time()
+        acc = 0.0
+        for _ in range(n_iter):
+            l, grads = step(*args)
+            acc = acc + l
+        assert np.isfinite(float(acc))
+        dt = (time.time() - t0) / n_iter
+        rates.append(pixels / dt / 1e6)
 
-    mpix_s = pixels / dt / 1e6
+    mpix_s = float(np.median(rates))
+    spread_pct = 100.0 * (max(rates) - min(rates)) / max(mpix_s, 1e-9)
     metric = "rendered Mpix/s/chip fwd+bwd"
     if "--sharded" in sys.argv:
         metric += " (shard_map path)"
@@ -254,7 +264,17 @@ def main():
                 "metric": metric,
                 "value": round(mpix_s, 3),
                 "unit": "Mpix/s",
+                # denominator: lineage speed context (~10 Mpix/s fwd+bwd
+                # for 3DGS-class training on an RTX GPU — BASELINE.md
+                # "vs_baseline denominator"); sol_frac scores against the
+                # measured speed-of-light estimate for THIS workload on
+                # this chip (~85 Mpix/s midpoint, BASELINE.md §SoL).
                 "vs_baseline": round(mpix_s / 10.0, 3),
+                "sol_frac": round(mpix_s / 85.0, 3),
+                "median_of": n_windows,
+                "iters_per_window": n_iter,
+                "spread_pct": round(spread_pct, 1),
+                "windows": [round(r, 2) for r in rates],
             }
         )
     )

@@ -193,8 +193,13 @@ class OptimConfig:
     # has already cooled the pose lr ~2x by then (r04 step-2000 eval: rot
     # error flat at 2.13 deg with the schedule down 10x under the
     # pre-floor decay).  Re-warming evaluates the same schedule as if
-    # the warmup had just ended, i.e. full pose_lr_init at the rewarm
-    # boundary decaying over the remaining steps.
+    # the warmup had just ended: full pose_lr_init at the rewarm
+    # boundary, then the SAME decay law shifted in time — the time
+    # constant stays (max_steps - pose_warmup_steps), so a run that
+    # rewarms at step B ends at base_sched(max_steps - B + warmup),
+    # ABOVE pose_lr_final (intentional: late-arriving detail deserves
+    # the same cooling rate, not a steeper one).  Must be >
+    # pose_warmup_steps (make_optimizer raises otherwise).
     pose_lr_rewarm_step: int = 0
     exposure_lr: float = 1e-3
     # Measured (supervised gamma-2.2 recovery, 6k Adam steps, h=32):

@@ -123,6 +123,14 @@ def pose_schedule(cfg: OptimConfig):
             [cfg.pose_warmup_steps],
         )
     if cfg.pose_lr_rewarm_step > 0 and callable(pose_sched):
+        # A boundary at/inside the warmup window would make the rewarmed
+        # branch return nonzero lr for steps the warmup should freeze
+        # (ADVICE r4): refuse the silent misconfiguration.
+        if cfg.pose_lr_rewarm_step <= cfg.pose_warmup_steps:
+            raise ValueError(
+                f"pose_lr_rewarm_step ({cfg.pose_lr_rewarm_step}) must be "
+                f"> pose_warmup_steps ({cfg.pose_warmup_steps})"
+            )
         base, boundary = pose_sched, cfg.pose_lr_rewarm_step
 
         def rewarmed(step):

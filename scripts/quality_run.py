@@ -177,7 +177,7 @@ def main():
     ap.add_argument("--steps", type=int, default=4_000)
     ap.add_argument("--capacity", type=int, default=1 << 17)
     ap.add_argument("--virtual-views", type=int, default=8)
-    ap.add_argument("--out", default="QUALITY_r03.json")
+    ap.add_argument("--out", default="QUALITY_r05.json")
     ap.add_argument("--render-dir", default="outputs/quality")
     # Fixture: "structured" (piecewise-smooth textured room — the winnable
     # quality benchmark, VERDICT r2 Missing #4) vs legacy "confetti".
@@ -263,6 +263,13 @@ def main():
                     help="cooperative wall-clock stop (0 = unbounded): "
                          "checked between steps like the stop file, so the "
                          "report/checkpoint are still written")
+    # TIME-based evals (VERDICT r4 Weak #2 / next-step 2): step-based
+    # evals every 1000 lost round 4's entire report when the session
+    # ended at step 972.  Like the 5-min checkpoints, an eval (and the
+    # report that follows it) now also fires on wall-clock, so the first
+    # eval lands within ~eval-every-s of launch and EVERY session leaves
+    # a scored curve point.
+    ap.add_argument("--eval-every-s", type=float, default=300.0)
     ap.add_argument("--run-label", default="")
     ap.add_argument("--fresh", action="store_true",
                     help="ignore an existing checkpoint/progress and "
@@ -351,6 +358,12 @@ def main():
     cfg.optim.pose_lr_final = args.pose_lr_final
     if args.pose_rewarm and args.coarse_steps > 0:
         cfg.optim.pose_lr_rewarm_step = args.coarse_steps
+    elif args.pose_rewarm:
+        # ADVICE r4: without a curriculum there is no promotion step to
+        # re-warm at — refuse rather than silently run the stock schedule
+        # under a flag that claims otherwise.
+        raise SystemExit("--pose-rewarm requires --coarse-steps > 0 "
+                         "(the rewarm fires at curriculum promotion)")
     cfg.optim.alt_period = args.alt_period
     cfg.optim.alt_pose_frac = args.alt_pose_frac
     # Binning regime is flag-driven (--shared-binning / --stream-factor);
@@ -546,9 +559,14 @@ def main():
         saved_at = t.step
         saved_t = time.time()
 
+    m_round = __import__("re").search(r"r(\d+)", os.path.basename(args.out))
+    round_no = int(m_round.group(1)) if m_round else 0
+
     def write_report():
-        """Full report from the curve so far — called after EVERY eval so
-        an interrupted run (or a wedged TPU) still leaves the artifact.
+        """Full report from the curve so far — called after EVERY eval AND
+        on every exit path, even with an empty curve (round 4's at-spec
+        report evaporated on an `if not curve: return` bail after a
+        session ended at step 972 of step-based 1000-eval cadence).
         NEVER kill this process mid-step (it wedges the axon terminal for
         everyone): `touch outputs/quality.stop` instead."""
         got = np.asarray(t.params["log_exposures"])
@@ -569,9 +587,9 @@ def main():
             "init_trans_mean": float(trans0.mean()),
             "final_trans_mean": float(trans1.mean()),
         }
-        final = curve[-1]
+        final = curve[-1] if curve else None
         report = {
-            "round": 3,
+            "round": round_no,
             "run_label": args.run_label,
             "fixture": dict(fixture_knobs),
             "scale": {
@@ -579,18 +597,16 @@ def main():
                 "frames": n,
                 "gt_gaussians": args.gt_gaussians,
                 "capacity": args.capacity,
-                "final_alive": final["alive"],
+                "final_alive": (
+                    final["alive"] if final
+                    else int(jnp.sum(t.params["gaussians"]["alive"]))
+                ),
                 "steps": args.steps,
                 "steps_done": int(t.step),
                 "virtual_views": args.virtual_views,
             },
             "wall_s": {"gt_gen": round(gt_gen_s, 1),
                        "train": round(time.time() - t_train, 1)},
-            "final_eval": {k: v for k, v in final.items()
-                           if k.startswith("eval")},
-            "deblurring_gain_db": round(
-                final["eval_sharp_psnr"] - final["eval_sharp_psnr_input"], 3
-            ),
             "exposure_recovery": exposure_rec,
             "crf_recovery": crf_rec,
             "hdr_recovery": hdr_rec,
@@ -600,6 +616,12 @@ def main():
                  for k, v in e.items()} for e in curve
             ],
         }
+        if final is not None:
+            report["final_eval"] = {k: v for k, v in final.items()
+                                    if k.startswith("eval")}
+            report["deblurring_gain_db"] = round(
+                final["eval_sharp_psnr"] - final["eval_sharp_psnr_input"], 3
+            )
         tmp = args.out + ".tmp"
         with open(tmp, "w") as f:
             json.dump(report, f, indent=1)
@@ -632,8 +654,37 @@ def main():
                 os.path.join(args.render_dir, f"sweep_{j}.png"), ldr)
         print("renders under", args.render_dir, flush=True)
 
+    last_eval_t = time.time()
+    last_out = None
+
+    def do_eval(out):
+        """Score the current state, append to the curve, write the report
+        and a checkpoint — the unit of evidence a session leaves behind."""
+        nonlocal renders_at, last_eval_t
+        m = t.evaluate(indices=eval_idx)
+        if args.holdout_every > 0:
+            m.update({k: v for k, v in t.evaluate().items()
+                      if k.startswith("eval_novel")})
+        alive = int(jnp.sum(t.params["gaussians"]["alive"]))
+        entry = {"step": t.step, "res": t.scene.width,
+                 "loss": out["loss"] if out else None, "alive": alive,
+                 "dropped": out["dropped"] if out else 0.0,
+                 "clipped": out["clipped"] if out else 0.0,
+                 **m, **recovery_now()}
+        curve.append(entry)
+        print(json.dumps(entry), flush=True)
+        with open(args.out + ".progress", "a") as f:
+            f.write(json.dumps(entry) + "\n")
+        write_report()
+        save_ckpt()  # resume point for the next TPU session
+        last_eval_t = time.time()
+        if t.step % 2000 == 0:
+            dump_renders()
+            renders_at = t.step
+
     while t.step < cfg.optim.max_steps:
         out = t.run_step()
+        last_out = out
         if on_coarse and t.step >= args.coarse_steps:
             promote_to_full()
         if t.step % 200 == 0 and t.step % 1000 != 0:
@@ -648,25 +699,9 @@ def main():
             # the step rate (2.9 s/step at heavy blur made the old
             # every-500-steps rule a ~25-min exposure).
             save_ckpt()
-        if t.step % 1000 == 0 or t.step == cfg.optim.max_steps:
-            m = t.evaluate(indices=eval_idx)
-            if args.holdout_every > 0:
-                m.update({k: v for k, v in t.evaluate().items()
-                          if k.startswith("eval_novel")})
-            alive = int(jnp.sum(t.params["gaussians"]["alive"]))
-            entry = {"step": t.step, "res": t.scene.width,
-                     "loss": out["loss"], "alive": alive,
-                     "dropped": out["dropped"], "clipped": out["clipped"],
-                     **m, **recovery_now()}
-            curve.append(entry)
-            print(json.dumps(entry), flush=True)
-            with open(args.out + ".progress", "a") as f:
-                f.write(json.dumps(entry) + "\n")
-            write_report()
-            save_ckpt()  # resume point for the next TPU session
-            if t.step % 2000 == 0:
-                dump_renders()
-                renders_at = t.step
+        if (t.step % 1000 == 0 or t.step == cfg.optim.max_steps
+                or time.time() - last_eval_t > args.eval_every_s):
+            do_eval(out)
         if os.path.exists(stop_file):
             print("stop file seen — finishing early", flush=True)
             break
@@ -675,14 +710,13 @@ def main():
                   "early", flush=True)
             break
 
-    # Early-stop paths break mid-eval-interval: checkpoint HERE so the
-    # steps since the last 1000-step boundary are not discarded (ADVICE
-    # r2 — the help text promises the checkpoint is written).
-    if t.step != saved_at:
+    # Exit paths (stop file, max-minutes, or a resume that was already at
+    # max_steps): score THIS session's endpoint and leave the report +
+    # checkpoint current, whatever got us here.
+    if not curve or curve[-1]["step"] != t.step:
+        do_eval(last_out)
+    elif t.step != saved_at:
         save_ckpt()
-    if not curve:  # stopped before the first eval
-        return
-    write_report()
     print("wrote", args.out, flush=True)
     if renders_at != t.step:  # skip re-rendering identical final output
         dump_renders()

@@ -53,6 +53,18 @@ while true; do
     exit 0
   fi
   if alive; then
+    # Heartbeat alarm (VERDICT r4 Weak #3): quality_run prints at least
+    # every 200 steps and is bounded by --max-minutes, so a log silent
+    # for QMAXMIN+15 min means a wedged client.  We can NOT kill it (a
+    # killed axon client wedges the terminal for everyone — see
+    # outputs/quality/README.md); alarm loudly so a human/agent acts.
+    if [ -f "$QLOG" ]; then
+      age=$(( $(date +%s) - $(stat -c %Y "$QLOG") ))
+      if [ "$age" -gt $(( (${QMAXMIN%.*} + 15) * 60 )) ]; then
+        echo "$(date -u +%H:%M:%S) ALARM: quality_run alive but $QLOG" \
+             "silent for ${age}s — likely wedged chip/client"
+      fi
+    fi
     sleep 60
     continue
   fi
