@@ -158,28 +158,13 @@ class OptimConfig:
     # running translation slower than rotation keeps the weakly
     # constrained direction from wandering.
     pose_trans_lr_scale: float = 1.0
-    # Staged joint optimization (VERDICT r3 next-step 1a): between
-    # pose_warmup_steps and stage_pose_until the SCENE learning rates
-    # (means/quats/scales/opacity/SH) are multiplied by
-    # stage_scene_lr_scale and the pose lr by stage_pose_lr_scale — a
-    # dedicated pose-recovery phase in which the scene cannot outrun the
-    # trajectory and absorb the blur (round-3 failure: loss fell while
-    # pose error rose; the scene warped to explain the data before poses
-    # could correct).  0 disables the stage.
-    stage_pose_until: int = 0
-    stage_scene_lr_scale: float = 0.1
-    stage_pose_lr_scale: float = 1.0
-    # Alternating block-coordinate stage (round 4): when alt_period > 0,
-    # the stage window [pose_warmup_steps, stage_pose_until) cycles —
-    # the first alt_pose_frac of each period is a POSE phase (scene lrs
-    # x stage_scene_lr_scale, pose lr x stage_pose_lr_scale), the rest a
-    # SCENE phase (pose lr x 0, scene at full rate).  Rationale: the
-    # test-time 6-DoF aligner recovers large pose offsets against a
-    # FROZEN scene in ~64 steps, while fully-joint descent lets the scene
-    # absorb the blur through the translation channel (r04 staged-v1
-    # probe: trans ATE 0.085 -> 0.31 while train PSNR rose 4.5 dB).
-    alt_period: int = 0
-    alt_pose_frac: float = 0.5
+    # NOTE (round 5): the staged scene-lr damping (stage_pose_until) and
+    # the alternating block-coordinate stage (alt_period) were REMOVED —
+    # the former was measured not to help once the camera-frame pose
+    # parametrization landed (r04_cf_b1zero_staged.log: gain −0.03 vs
+    # +0.85 bare at equal budget), the latter shipped the same day that
+    # fix made it moot and never earned a probe (VERDICT r4 Weak #6;
+    # docs/JOINT_RECOVERY.md "What did NOT work").
     # Adam beta1 for the pose group.  Knot gradients are SPARSE (one
     # random frame per step touches ~one spline support), but Adam keeps
     # applying the momentum of the last sampled gradient to every knot at
@@ -202,6 +187,16 @@ class OptimConfig:
     # pose_warmup_steps (make_optimizer raises otherwise).
     pose_lr_rewarm_step: int = 0
     exposure_lr: float = 1e-3
+    # Adam beta1 for the per-frame exposure group.  log_exposures has the
+    # SAME sparse-gradient structure as the knots (each step renders one
+    # random frame, so exactly one Δt entry sees a nonzero gradient) and
+    # therefore the same stale-momentum random walk pose_b1 fixes: at
+    # b1=0.9 every unsampled frame's exposure keeps moving ~1/(1-b1)
+    # lr-sized steps in the direction of its LAST visit.  Measured on the
+    # 320² heavy-blur quality probe (r05): exp_err_mean ROSE 0.21→0.28
+    # over 2k steps with b1=0.9.  b1=0 makes unsampled exposures hold
+    # still (their grads are exactly zero).
+    exposure_b1: float = 0.9
     # Measured (supervised gamma-2.2 recovery, 6k Adam steps, h=32):
     # lr 1e-3 stalls at rmse 0.049 — a ~22 dB reconstruction ceiling for
     # the whole pipeline; 5e-3 reaches 0.0015.  The softplus-reparam
@@ -251,12 +246,10 @@ class DataConfig:
     path: str = ""
     downscale: int = 1
     eval_every: int = 8  # every k-th frame held out
-    # Incremental frame scheduling (BAD-Gaussians-lineage practice for
-    # joint pose recovery): when > 0, training samples only the first
-    # 2 + step // incremental_frame_steps train frames (timestamp order),
-    # so pose/scene consensus forms on a short window before later
-    # exposure windows join.  0 = sample the whole sequence (default).
-    incremental_frame_steps: int = 0
+    # (round 5) incremental_frame_steps — the growing-prefix frame
+    # curriculum — was removed unprobed: it shipped the same day the
+    # camera-frame pose fix addressed the divergence it targeted, and
+    # never earned a probe log (VERDICT r4 Weak #6).
 
 
 @dataclass

@@ -66,49 +66,6 @@ def _scale_se3_trans(scale: float):
     return optax.GradientTransformation(lambda _: optax.EmptyState(), update_fn)
 
 
-def _stage_scaled(lr, cfg: OptimConfig, scale: float, kind: str = "scene"):
-    """Wrap a scalar lr or schedule so it is multiplied by `scale` during
-    the pose-recovery stage [pose_warmup_steps, stage_pose_until) — the
-    staged joint optimization of OptimConfig.stage_pose_until.  The
-    warmup window itself is NOT damped: there the scene fits the init
-    trajectory at full rate (pose lr is zero anyway).
-
-    With OptimConfig.alt_period > 0 the stage window alternates instead
-    (block-coordinate descent): the first alt_pose_frac of every period
-    is a POSE phase (scene damped by `scale`, pose at stage_pose_lr_scale)
-    and the remainder a SCENE phase (pose lr zeroed, scene at full rate)."""
-    if cfg.stage_pose_until <= 0 or (scale == 1.0 and cfg.alt_period <= 0):
-        return lr
-    base = lr if callable(lr) else (lambda _: lr)
-    lo, hi = cfg.pose_warmup_steps, cfg.stage_pose_until
-
-    def sched(step):
-        in_stage = jnp.logical_and(step >= lo, step < hi)
-        if cfg.alt_period > 0:
-            phase = ((step - lo) % cfg.alt_period) / cfg.alt_period
-            pose_phase = phase < cfg.alt_pose_frac
-            if kind == "scene":
-                factor = jnp.where(pose_phase, scale, 1.0)
-            else:
-                factor = jnp.where(pose_phase, scale, 0.0)
-        else:
-            factor = scale
-        return base(step) * jnp.where(in_stage, factor, 1.0)
-
-    return sched
-
-
-def stage_pose_phase(cfg: OptimConfig, step) -> bool:
-    """True when `step` sits in a POSE phase of the alternating stage —
-    used by the trainer to defer densification out of pose phases."""
-    if cfg.alt_period <= 0 or cfg.stage_pose_until <= 0:
-        return False
-    lo, hi = cfg.pose_warmup_steps, cfg.stage_pose_until
-    if not (lo <= step < hi):
-        return False
-    return ((step - lo) % cfg.alt_period) / cfg.alt_period < cfg.alt_pose_frac
-
-
 def pose_schedule(cfg: OptimConfig):
     """Pose-group lr schedule: warmup-at-zero, exp decay, and (optional)
     a decay-clock restart at cfg.pose_lr_rewarm_step — the curriculum
@@ -153,10 +110,9 @@ def make_optimizer(cfg: OptimConfig, scene_extent: float = 1.0):
     )
     pose_sched = pose_schedule(cfg)
     adam = lambda lr: optax.adam(lr, b1=0.9, b2=0.999, eps=1e-15)
-    scene = lambda lr: adam(_stage_scaled(lr, cfg, cfg.stage_scene_lr_scale))
+    scene = adam
     pose_opt = optax.adam(
-        _stage_scaled(pose_sched, cfg, cfg.stage_pose_lr_scale, kind="pose"),
-        b1=cfg.pose_b1, b2=0.999, eps=1e-15,
+        pose_sched, b1=cfg.pose_b1, b2=0.999, eps=1e-15,
     )
     if cfg.pose_trans_lr_scale != 1.0:
         pose_opt = optax.chain(
@@ -170,7 +126,9 @@ def make_optimizer(cfg: OptimConfig, scene_extent: float = 1.0):
         "sh_dc": scene(cfg.sh_dc_lr),
         "sh_rest": scene(cfg.sh_dc_lr / cfg.sh_rest_lr_div),
         "pose": pose_opt,
-        "exposure": adam(cfg.exposure_lr),
+        "exposure": optax.adam(
+            cfg.exposure_lr, b1=cfg.exposure_b1, b2=0.999, eps=1e-15
+        ),
         "crf": adam(cfg.crf_lr),
         "frozen": optax.set_to_zero(),
     }

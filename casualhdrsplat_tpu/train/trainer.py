@@ -358,10 +358,6 @@ class Trainer:
 
     def run_step(self) -> Dict[str, float]:
         pool = self.dataset.train_indices
-        inc = self.cfg.data.incremental_frame_steps
-        if inc > 0:
-            # growing-prefix curriculum (DataConfig.incremental_frame_steps)
-            pool = pool[: min(2 + self.step // inc, len(pool))]
         frame = int(self._rng.choice(pool))
         self.params, self.opt_state, self.adc, scalars = self._train_step(
             self.params, self.opt_state, self.adc, self.images,
@@ -371,8 +367,6 @@ class Trainer:
         self.step += 1
         d = self.cfg.densify
         in_window = d.enabled and d.start_iter <= self.step <= d.stop_iter
-        if in_window and optim_mod.stage_pose_phase(self.cfg.optim, self.step):
-            in_window = False  # never restructure the scene mid pose-phase
         if in_window and self.step % d.interval == 0:
             self.key, sub = jax.random.split(self.key)
             self.params, self.opt_state, self.adc, report = self._densify(

@@ -68,18 +68,8 @@ def main():
     ap.add_argument("--c2f-steps", type=int, default=0)
     ap.add_argument("--c2f-sigma", type=float, default=8.0)
     ap.add_argument("--means-lr", type=float, default=1.6e-4)
-    # staged joint optimization (round 4): pose-recovery stage window +
-    # scene/pose lr scaling inside it, and the knot-delta anchor
-    ap.add_argument("--stage-until", type=int, default=0)
-    ap.add_argument("--stage-scene-scale", type=float, default=0.1)
-    ap.add_argument("--stage-pose-scale", type=float, default=1.0)
     ap.add_argument("--pose-anchor-w", type=float, default=0.0)
-    ap.add_argument("--alt-period", type=int, default=0)
-    ap.add_argument("--alt-pose-frac", type=float, default=0.5)
     ap.add_argument("--pose-b1", type=float, default=0.9)
-    ap.add_argument("--inc-frames", type=int, default=0,
-                    help="incremental frame curriculum: unlock one more "
-                         "train frame every N steps (0 = off)")
     ap.add_argument("--densify", action="store_true")
     ap.add_argument("--densify-start", type=int, default=0,
                     help="0 = legacy max(300, c2f/2); staged runs should "
@@ -196,14 +186,8 @@ def main():
     cfg.optim.pose_lr_init = args.pose_lr
     cfg.optim.exposure_lr = args.exposure_lr
     cfg.optim.pose_b1 = args.pose_b1
-    cfg.optim.alt_period = args.alt_period
-    cfg.optim.alt_pose_frac = args.alt_pose_frac
-    cfg.optim.stage_pose_until = args.stage_until
-    cfg.optim.stage_scene_lr_scale = args.stage_scene_scale
-    cfg.optim.stage_pose_lr_scale = args.stage_pose_scale
     cfg.loss.pose_anchor_weight = args.pose_anchor_w
     cfg.data.eval_every = 0
-    cfg.data.incremental_frame_steps = args.inc_frames
     cfg.log_every = 0
     cfg.eval_every = 0
     cfg.checkpoint_every = 0

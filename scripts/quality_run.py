@@ -198,6 +198,10 @@ def main():
     ap.add_argument("--pose-warmup", type=int, default=100)
     ap.add_argument("--pose-trans-lr-scale", type=float, default=0.1)
     ap.add_argument("--exposure-lr", type=float, default=5e-3)
+    # Exposure grads are per-frame sparse like knot grads; b1=0 stops the
+    # stale-momentum random walk (OptimConfig.exposure_b1; measured on
+    # the r05 320² heavy probe: exp_err rose 0.21→0.28 under b1=0.9).
+    ap.add_argument("--exposure-b1", type=float, default=0.0)
     ap.add_argument("--exposure-init-frac", type=float, default=0.75)
     ap.add_argument("--crf-lr", type=float, default=1e-3)
     # coarse-to-fine (losses.gaussian_blur): round-3 finding — loss-blur
@@ -215,12 +219,6 @@ def main():
     ap.add_argument("--coarse-downscale", type=int, default=2)
     # full-resolution-rung footprint budget (see make_trainer below)
     ap.add_argument("--mtpg-full", type=int, default=128)
-    # Staged joint optimization (VERDICT r3 next-step 1a/1c): scene lrs
-    # damped between pose warmup and --stage-until; L2 anchor on the knot
-    # deltas against scene/spline co-warp.
-    ap.add_argument("--stage-until", type=int, default=0)
-    ap.add_argument("--stage-scene-scale", type=float, default=0.1)
-    ap.add_argument("--stage-pose-scale", type=float, default=1.0)
     ap.add_argument("--pose-anchor-w", type=float, default=0.0)
     # r04 pose-divergence findings (probe series, outputs/probe_logs/):
     # momentum-free pose Adam — sparse per-frame knot grads + stale b1
@@ -237,12 +235,7 @@ def main():
     # exactly when the gradient first sees full-resolution detail) —
     # docs/JOINT_RECOVERY.md "next quality lever".
     ap.add_argument("--pose-rewarm", action="store_true")
-    ap.add_argument("--alt-period", type=int, default=0)
-    ap.add_argument("--alt-pose-frac", type=float, default=0.5)
     ap.add_argument("--densify-start", type=int, default=500)
-    ap.add_argument("--inc-frames", type=int, default=0,
-                    help="incremental frame curriculum: unlock one more "
-                         "train frame every N steps (0 = off)")
     ap.add_argument("--antialias", action="store_true")
     # Hold out every k-th frame from training and score TRUE novel-view
     # synthesis on them (pose from the spline, exposure interpolated from
@@ -313,13 +306,9 @@ def main():
         "c2f": [args.c2f_steps, args.c2f_sigma],
         "holdout_every": args.holdout_every,
         "coarse": [args.coarse_steps, args.coarse_downscale],
-        "stage": [args.stage_until, args.stage_scene_scale,
-                  args.stage_pose_scale],
         "pose_anchor_w": args.pose_anchor_w,
         "densify_start": args.densify_start,
-        "inc_frames": args.inc_frames,
         "pose_b1": args.pose_b1,
-        "alt": [args.alt_period, args.alt_pose_frac],
     }
     print("generating GT fixture...", flush=True)
     # Fixture tuned with AT-SPEC 800^2 probes (scripts/probe_fixture.py —
@@ -346,14 +335,12 @@ def main():
     cfg.optim.pose_warmup_steps = args.pose_warmup
     cfg.optim.pose_trans_lr_scale = args.pose_trans_lr_scale
     cfg.optim.exposure_lr = args.exposure_lr
+    cfg.optim.exposure_b1 = args.exposure_b1
     cfg.optim.crf_lr = args.crf_lr
     cfg.model.exposure_init_frac = args.exposure_init_frac
     cfg.loss.coarse_to_fine_steps = args.c2f_steps
     cfg.loss.coarse_sigma0 = args.c2f_sigma
     cfg.loss.pose_anchor_weight = args.pose_anchor_w
-    cfg.optim.stage_pose_until = args.stage_until
-    cfg.optim.stage_scene_lr_scale = args.stage_scene_scale
-    cfg.optim.stage_pose_lr_scale = args.stage_pose_scale
     cfg.optim.pose_b1 = args.pose_b1
     cfg.optim.pose_lr_final = args.pose_lr_final
     if args.pose_rewarm and args.coarse_steps > 0:
@@ -364,8 +351,6 @@ def main():
         # under a flag that claims otherwise.
         raise SystemExit("--pose-rewarm requires --coarse-steps > 0 "
                          "(the rewarm fires at curriculum promotion)")
-    cfg.optim.alt_period = args.alt_period
-    cfg.optim.alt_pose_frac = args.alt_pose_frac
     # Binning regime is flag-driven (--shared-binning / --stream-factor);
     # both regimes were tuned against at-spec probes in round 2:
     # - PER-VIEW (exact): run 7 measured ~0.94M rows/view demand at full
@@ -410,7 +395,6 @@ def main():
     cfg.densify.prune_screen_radius = 0.10
     cfg.optim.max_steps = args.steps
     cfg.data.eval_every = args.holdout_every
-    cfg.data.incremental_frame_steps = args.inc_frames
     cfg.log_every = 100
     cfg.eval_every = 0  # evals driven from here (curve below)
     cfg.checkpoint_every = 0
@@ -498,10 +482,15 @@ def main():
         got = np.asarray(t.params["log_exposures"])
         gt = np.log(np.asarray(video.exposures))
         err = np.abs((got - got.mean()) - (gt - gt.mean()))
+        # per-frame rot error (times are 5 samples per exposure window in
+        # frame order — exposure_window_times): names WHICH windows carry
+        # the rot_max outlier (VERDICT r4 next-step 3 per-window diagnosis)
+        per_frame = np.asarray(rot).reshape(n, -1).mean(axis=1)
         return {
             "rot_deg_mean": float(rot.mean()), "rot_deg_max": float(rot.max()),
             "trans_mean": float(trans.mean()), "trans_max": float(trans.max()),
             "exp_err_mean": float(err.mean()), "exp_err_max": float(err.max()),
+            "rot_per_frame": [round(float(x), 3) for x in per_frame],
         }
 
     # deblur/fit metrics are scored on TRAIN frames only: a held-out
@@ -521,13 +510,26 @@ def main():
         if os.path.exists(fixture_path):
             with open(fixture_path) as f:
                 saved = json.load(f)
-            if saved != fixture_knobs:
+            # Compare on SHARED keys only: a knob that no longer exists
+            # (e.g. the round-5 removal of the stage/alt/inc-frames levers,
+            # all of which were at their off-defaults in every committed
+            # run) must not strand an otherwise-identical checkpoint; any
+            # asymmetric key is still reported loudly.
+            shared = set(saved) & set(fixture_knobs)
+            diff = {k: (saved[k], fixture_knobs[k]) for k in shared
+                    if saved[k] != fixture_knobs[k]}
+            if diff:
                 raise SystemExit(
-                    f"checkpoint at {ckpt_root} was trained with fixture "
-                    f"knobs {saved}, but this launch asks for "
-                    f"{fixture_knobs} — pass --fresh to restart, or match "
-                    "the original flags to resume"
+                    f"checkpoint at {ckpt_root} was trained with different "
+                    f"fixture knobs {diff} ((saved, requested)) — pass "
+                    "--fresh to restart, or match the original flags"
                 )
+            dropped = set(saved) - set(fixture_knobs)
+            added = set(fixture_knobs) - set(saved)
+            if dropped or added:
+                print(f"fixture-knob schema drift on resume: dropped="
+                      f"{sorted(dropped)} added={sorted(added)} "
+                      "(values compared on shared keys only)", flush=True)
         resumed = resume_or_start(t, ckpt_root)
         if resumed:
             if os.path.exists(args.out + ".progress"):

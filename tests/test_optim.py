@@ -67,35 +67,6 @@ def test_pose_trans_lr_scale_halves_translation_only():
     np.testing.assert_allclose(got[:, :3], ref[:, :3], rtol=1e-6)
     np.testing.assert_allclose(got[:, 3:], 0.25 * ref[:, 3:], rtol=1e-6)
 
-
-def test_staged_scene_lr_damping():
-    """Staged joint optimization (OptimConfig.stage_pose_until): scene
-    groups run at stage_scene_lr_scale x their lr between warmup and the
-    stage end, then return to full rate; pose can be boosted in-stage."""
-    cfg = OptimConfig(
-        pose_warmup_steps=2, stage_pose_until=5,
-        stage_scene_lr_scale=0.1, stage_pose_lr_scale=2.0, max_steps=20,
-    )
-    ref = optim.make_optimizer(OptimConfig(pose_warmup_steps=2, max_steps=20))
-    opt = optim.make_optimizer(cfg)
-    params = tiny_params()
-    st, st_ref = opt.init(params), ref.init(params)
-    grads = ones_like_grads(params)
-    for step in range(7):
-        u, st = opt.update(grads, st, params)
-        u_ref, st_ref = ref.update(grads, st_ref, params)
-        got = np.asarray(u["gaussians"]["quats"])
-        want = np.asarray(u_ref["gaussians"]["quats"])
-        pose = np.asarray(u["knot_deltas"])
-        pose_ref = np.asarray(u_ref["knot_deltas"])
-        if 2 <= step < 5:  # in-stage
-            np.testing.assert_allclose(got, 0.1 * want, rtol=1e-5)
-            np.testing.assert_allclose(pose, 2.0 * pose_ref, rtol=1e-5)
-        else:
-            np.testing.assert_allclose(got, want, rtol=1e-5)
-            np.testing.assert_allclose(pose, pose_ref, rtol=1e-5)
-
-
 def test_pose_b1_zero_freezes_unsampled_knots():
     """OptimConfig.pose_b1=0: a knot whose gradient is zero this step gets
     a zero update (no stale momentum) — per-frame sampling makes knot
@@ -118,40 +89,6 @@ def test_pose_b1_zero_freezes_unsampled_knots():
     _, st_m = opt_m.update(g1, st_m, params)
     u_m, _ = opt_m.update(g2, st_m, params)
     assert float(np.abs(np.asarray(u_m["knot_deltas"])).max()) > 0
-
-
-def test_alternating_stage_phases():
-    """OptimConfig.alt_period: inside the stage window the first
-    alt_pose_frac of each period damps the SCENE and runs the pose; the
-    remainder zeroes the POSE and frees the scene; outside the window
-    both run at full rate."""
-    cfg = OptimConfig(
-        pose_warmup_steps=0, stage_pose_until=8, stage_scene_lr_scale=0.0,
-        alt_period=4, alt_pose_frac=0.5, max_steps=20,
-    )
-    ref = optim.make_optimizer(OptimConfig(max_steps=20))
-    opt = optim.make_optimizer(cfg)
-    params = tiny_params()
-    st, st_ref = opt.init(params), ref.init(params)
-    grads = ones_like_grads(params)
-    for step in range(10):
-        u, st = opt.update(grads, st, params)
-        u_ref, st_ref = ref.update(grads, st_ref, params)
-        scene = np.abs(np.asarray(u["gaussians"]["quats"])).max()
-        pose = np.abs(np.asarray(u["knot_deltas"])).max()
-        scene_ref = np.abs(np.asarray(u_ref["gaussians"]["quats"])).max()
-        pose_ref = np.abs(np.asarray(u_ref["knot_deltas"])).max()
-        pose_phase = step < 8 and (step % 4) < 2
-        scene_phase = step < 8 and not pose_phase
-        if pose_phase:
-            assert scene == 0.0 and pose > 0, (step, scene, pose)
-        elif scene_phase:
-            assert pose == 0.0 and scene > 0, (step, scene, pose)
-        else:  # past the stage window: both at full rate
-            np.testing.assert_allclose(scene, scene_ref, rtol=1e-5)
-            np.testing.assert_allclose(pose, pose_ref, rtol=1e-5)
-        assert optim.stage_pose_phase(cfg, step) == pose_phase
-
 
 def test_pose_lr_rewarm_restarts_decay_at_promotion():
     """pose_lr_rewarm_step restarts the exp-decay clock: full

@@ -279,31 +279,3 @@ def test_novel_view_eval_with_interpolated_exposure(tmp_path):
         t.params, ds.timestamps, t.dataset.train_indices, 3
     )
     np.testing.assert_allclose(got, 0.3, atol=1e-6)  # mean of 0.2 and 0.4
-
-
-def test_incremental_frame_curriculum(tiny_dataset):
-    """DataConfig.incremental_frame_steps: training samples only the
-    first 2 + step//N train frames (growing-prefix curriculum for joint
-    pose recovery, VERDICT r3 next-step 1d)."""
-    cfg = tiny_cfg()
-    cfg.data.incremental_frame_steps = 3
-    t = Trainer(cfg, tiny_dataset)
-
-    sampled = []
-    real_choice = t._rng.choice
-
-    class SpyRng:
-        def choice(self, pool):
-            sampled.append(np.asarray(pool).copy())
-            return real_choice(pool)
-
-    t._rng = SpyRng()
-    for _ in range(8):
-        t.run_step()
-    # steps 0-2 drew from the 2-frame prefix; from step 3 the third (and
-    # last — frame 0 is held out) train frame joins, capped at the pool
-    assert all(len(p) == 2 for p in sampled[:3]), sampled[:3]
-    assert all(len(p) == 3 for p in sampled[3:]), sampled[3:]
-    full = np.asarray(t.dataset.train_indices)
-    for p in sampled:
-        np.testing.assert_array_equal(p, full[: len(p)])
