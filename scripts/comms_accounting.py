@@ -184,7 +184,9 @@ def main():
                 size, size, cfg, mesh, sh_degree=0)
             return jnp.sum(hdr)
 
-        compiled = jax.jit(jax.grad(loss)).lower(store).compile()
+        compiled = jax.jit(
+            jax.grad(loss, allow_int=True)
+        ).lower(store).compile()
         txt = compiled.as_text()
         counts = collections.Counter()
         for line in txt.splitlines():
