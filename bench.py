@@ -24,7 +24,7 @@ import numpy as np
 
 
 def build(n_gaussians=100_000, size=800, n_virtual=4, chunk=128,
-          stream_factor=6, tile=(16, 16)):
+          stream_factor=6, tile=(16, 16), prefix="matmul"):
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +46,7 @@ def build(n_gaussians=100_000, size=800, n_virtual=4, chunk=128,
     cfg = RasterizeConfig(
         tile_h=tile[0], tile_w=tile[1], tile_capacity=1024,
         max_tiles_per_gaussian=32, chunk=chunk, backend="auto",
-        stream_factor=stream_factor,
+        stream_factor=stream_factor, prefix=prefix,
     )
     crf_cfg = CRFConfig(kind="mlp")
     crf_params = crf_mod.create(crf_cfg)
@@ -226,6 +226,7 @@ def main():
             stream_factor=_arg("--stream-factor", 6, int),
             tile=_arg("--tile", (16, 16),
                       lambda s: tuple(int(x) for x in s.split("x"))),
+            prefix=_arg("--prefix", "matmul", str),
         )
 
     l, grads = step(*args)  # compile

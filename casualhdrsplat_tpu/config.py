@@ -47,6 +47,12 @@ class RasterizeConfig:
     # to exact per-view binning.  Set False for oracle-exact binning.
     shared_binning: bool = True
     backend: str = "auto"  # "pallas" | "oracle" | "auto"
+    # In-chunk transmittance prefix implementation inside the Pallas
+    # kernels: "matmul" = triangular (G,G)@(G,P) MXU matmuls (fp32 on the
+    # MXU costs multiple passes); "cumsum" = log-depth VPU scan
+    # (jnp.cumsum).  Mathematically identical up to summation order (the
+    # XLA/oracle path always uses cumsum); a bench-sweep knob.
+    prefix: str = "matmul"
 
 
 @dataclass

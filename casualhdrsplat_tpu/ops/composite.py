@@ -55,6 +55,10 @@ class CompositeStatics(NamedTuple):
     # path uses a PADDED stride (tiles rounded up to the gauss axis) so
     # each device's row slice stays static (parallel/render.py).
     tiles_per_view: int = 0
+    # In-chunk transmittance prefix inside the Pallas kernels:
+    # "matmul" (triangular MXU) | "cumsum" (VPU scan) — see
+    # RasterizeConfig.prefix; the XLA path below always uses cumsum.
+    prefix: str = "matmul"
 
 
 def pixel_coords(origin_x, origin_y, tile_h: int, tile_w: int):

@@ -116,7 +116,7 @@ def rasterize(
         alpha_clip=cfg.alpha_clip,
         alpha_threshold=cfg.alpha_threshold,
         backend=backend,
-        transmittance_eps=cfg.transmittance_eps,
+        transmittance_eps=cfg.transmittance_eps, prefix=cfg.prefix,
     )
     out4 = composite_tiles(
         gathered, statics, counts=counts.reshape(tt)
@@ -218,7 +218,7 @@ def _rasterize_packed(
     statics = CompositeStatics(
         num_views=v, ntx=ntx, nty=nty, tile_h=th, tile_w=tw, chunk=g,
         alpha_clip=cfg.alpha_clip, alpha_threshold=cfg.alpha_threshold,
-        backend="pallas", transmittance_eps=cfg.transmittance_eps,
+        backend="pallas", transmittance_eps=cfg.transmittance_eps, prefix=cfg.prefix,
     )
     out4 = rasterize_packed.composite_stream(stream, chunks, sentinel + 1, statics)
     images, alphas = _assemble_tiles(
@@ -334,7 +334,7 @@ def _rasterize_packed_shared(
     statics = CompositeStatics(
         num_views=v, ntx=ntx, nty=nty, tile_h=th, tile_w=tw, chunk=g,
         alpha_clip=cfg.alpha_clip, alpha_threshold=cfg.alpha_threshold,
-        backend="pallas", transmittance_eps=cfg.transmittance_eps,
+        backend="pallas", transmittance_eps=cfg.transmittance_eps, prefix=cfg.prefix,
     )
     out4 = rasterize_packed.composite_stream(stream, chunks, sentinel + 1, statics)
     images, alphas = _assemble_tiles(

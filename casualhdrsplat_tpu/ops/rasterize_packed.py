@@ -34,7 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from casualhdrsplat_tpu.ops import binning
 from casualhdrsplat_tpu.ops.composite import CompositeStatics, _alpha_terms
-from casualhdrsplat_tpu.ops.rasterize_pallas import _mm, _tri_strict
+from casualhdrsplat_tpu.ops.rasterize_pallas import (
+    _mm, _prefix_excl, _prefix_incl, _tri_strict,
+)
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -88,6 +90,7 @@ def _seg_mask(lo_rel, hi_rel, g: int):
     return jnp.logical_and(pos >= lo_rel, pos < hi_rel)  # (G,1)
 
 
+
 # --------------------------------------------------------------------------
 # forward
 # --------------------------------------------------------------------------
@@ -102,7 +105,6 @@ def _fwd_kernel(
     meta = meta_ref[i]
     lo_rel, hi_rel = _seg_unpack(seg_ref[i])
     px, py = _origin_coords(meta & _ROW_MASK, statics)
-    l_strict = _tri_strict(g)
 
     @pl.when((meta & _FIRST_BIT) != 0)
     def _():
@@ -128,7 +130,7 @@ def _fwd_kernel(
         mask = _seg_mask(lo_rel, hi_rel, g)
         alpha = jnp.where(mask, alpha, 0.0)
         log1m = jnp.log1p(-alpha)
-        s_excl = _mm(l_strict, log1m)
+        s_excl = _prefix_excl(log1m, statics)
         w = alpha * jnp.exp(s_excl) * t_in
         c4 = chunk[:, binning.COL_R : binning.COL_ONE + 1]
         contrib = jax.lax.dot_general(
@@ -176,8 +178,12 @@ def forward(
             (num_rows, 4, p), jnp.float32, vma=jax.typeof(stream_payload).vma
         ),
         cost_estimate=pl.CostEstimate(
-            flops=c * g * p * 10,
-            bytes_accessed=c * g * pd * 4 + num_rows * 4 * p * 4,
+            # dominated by the in-chunk prefix: 2*g*g*p MACs per program
+            # for the triangular matmul (the old c*g*p*10 estimate was
+            # ~25x under, starving the pipeliner's overlap budget), plus
+            # the (4,g)@(g,p) contraction and ~20 elementwise ops/cell
+            flops=c * (2 * g * g * p + 8 * g * p + 20 * g * p),
+            bytes_accessed=c * (g * pd * 4 + 2 * 4 * p * 4),
             transcendentals=2 * c * g * p,
         ),
         interpret=jax.default_backend() == "cpu",
@@ -202,8 +208,6 @@ def _bwd_kernel(
     meta = meta_ref[i]
     lo_rel, hi_rel = _seg_unpack(seg_ref[i])
     px, py = _origin_coords(meta & _ROW_MASK, statics)
-    l_strict = _tri_strict(g)
-    l_incl = l_strict + jnp.eye(g, dtype=jnp.float32)
 
     @pl.when((meta & _FIRST_BIT) != 0)
     def _():
@@ -233,7 +237,7 @@ def _bwd_kernel(
         mask = _seg_mask(lo_rel, hi_rel, g)
         alpha = jnp.where(mask, alpha, 0.0)
         log1m = jnp.log1p(-alpha)
-        s_excl = _mm(l_strict, log1m)
+        s_excl = _prefix_excl(log1m, statics)
         t_k = jnp.exp(s_excl) * t_in
         w = alpha * t_k
         c4 = chunk[:, binning.COL_R : binning.COL_ONE + 1]
@@ -253,7 +257,7 @@ def _bwd_kernel(
         # lane-concatenated one — the dominant bwd-kernel cost in round 1.
         tot_dot = jnp.sum(c4_tot * g4, axis=0, keepdims=True)  # (1,P)
         u = w * cg
-        cum_u = _mm(l_incl, u)
+        cum_u = _prefix_incl(u, statics)
         term2 = tot_dot - r_scr[...] - cum_u
         r_out = r_scr[...] + jnp.sum(u, axis=0, keepdims=True)
         dl_da = jnp.where(alpha > 0.0, t_k * cg - term2 / (1.0 - alpha), 0.0)
@@ -318,8 +322,10 @@ def backward(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, pd), jnp.float32, vma=vma),
         cost_estimate=pl.CostEstimate(
-            flops=c * g * p * 30,
-            bytes_accessed=2 * c * g * pd * 4,
+            # one (g,g)@(g,p) prefix + two thin contractions + ~40
+            # elementwise ops/cell (see _bwd_kernel body)
+            flops=c * (2 * g * g * p + 16 * g * p + 40 * g * p),
+            bytes_accessed=c * (2 * g * pd * 4 + 2 * 2 * 4 * p * 4),
             transcendentals=3 * c * g * p,
         ),
         interpret=jax.default_backend() == "cpu",

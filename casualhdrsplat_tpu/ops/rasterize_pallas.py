@@ -51,6 +51,21 @@ def _tri_strict(g: int):
     return (row > col).astype(jnp.float32)
 
 
+def _prefix_excl(x, statics):
+    """Exclusive prefix sum over the chunk axis: triangular MXU matmul or
+    VPU cumsum per statics.prefix (identical up to summation order)."""
+    if statics.prefix == "cumsum":
+        return jnp.cumsum(x, axis=0) - x
+    return _mm(_tri_strict(statics.chunk), x)
+
+
+def _prefix_incl(x, statics):
+    if statics.prefix == "cumsum":
+        return jnp.cumsum(x, axis=0)
+    g = statics.chunk
+    return _mm(_tri_strict(g) + jnp.eye(g, dtype=jnp.float32), x)
+
+
 def _pixel_coords(tile_index, statics: CompositeStatics):
     tiles_per_view = statics.tiles_per_view or statics.ntx * statics.nty
     t = tile_index % tiles_per_view
@@ -79,7 +94,6 @@ def _fwd_kernel(
     # only the occupied chunks of this tile's list (padding slots are
     # zero-opacity no-ops; skipping them is the big win at low occupancy)
     n_chunks = pl.cdiv(counts_ref[i], g)
-    l_strict = _tri_strict(g)
 
     def cond(state):
         ci, t_carry, _ = state
@@ -94,7 +108,7 @@ def _fwd_kernel(
             chunk, px, py, statics.alpha_clip, statics.alpha_threshold
         )
         log1m = jnp.log1p(-alpha)
-        s_excl = _mm(l_strict, log1m)
+        s_excl = _prefix_excl(log1m, statics)
         w = alpha * jnp.exp(s_excl) * t_carry  # (G,P)
         c4 = chunk[:, binning.COL_R : binning.COL_ONE + 1]  # (G,4)
         contrib = jax.lax.dot_general(
@@ -159,8 +173,6 @@ def _bwd_kernel(
     i = pl.program_id(0)
     n_chunks = pl.cdiv(counts_ref[i], g)
     px, py = _pixel_coords(tile_idx_ref[i], statics)
-    l_strict = _tri_strict(g)
-    l_incl = l_strict + jnp.eye(g, dtype=jnp.float32)
 
     d_ref[0] = jnp.zeros((cap, binning.PAYLOAD_DIM), jnp.float32)
     c4_tot = out4_ref[0]  # (4,P)
@@ -182,7 +194,7 @@ def _bwd_kernel(
             chunk, px, py, statics.alpha_clip, statics.alpha_threshold
         )
         log1m = jnp.log1p(-alpha)
-        s_excl = _mm(l_strict, log1m)
+        s_excl = _prefix_excl(log1m, statics)
         t_k = jnp.exp(s_excl) * t_carry
         w = alpha * t_k
         c4 = chunk[:, binning.COL_R : binning.COL_ONE + 1]  # (G,4)
@@ -197,7 +209,7 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32, precision=_HIGHEST,
         )  # (G,P)
         u = w * cg
-        cum_u = _mm(l_incl, u)  # inclusive prefix of u over slots
+        cum_u = _prefix_incl(u, statics)  # inclusive prefix over slots
         term2 = tot_dot - r_carry - cum_u
         r_out = r_carry + jnp.sum(u, axis=0, keepdims=True)
         dl_da = jnp.where(alpha > 0.0, t_k * cg - term2 / (1.0 - alpha), 0.0)

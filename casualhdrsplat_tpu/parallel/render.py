@@ -172,7 +172,7 @@ def _packed_local_tiles(
         nty=binning.tile_grid(width, height, th, tw)[1],
         tile_h=th, tile_w=tw, chunk=gch,
         alpha_clip=cfg.alpha_clip, alpha_threshold=cfg.alpha_threshold,
-        backend="pallas", transmittance_eps=cfg.transmittance_eps,
+        backend="pallas", transmittance_eps=cfg.transmittance_eps, prefix=cfg.prefix,
         tiles_per_view=tiles_pad,
     )
     out_full = rasterize_packed.composite_stream(
@@ -225,7 +225,7 @@ def rasterize_sharded(
         alpha_clip=cfg.alpha_clip,
         alpha_threshold=cfg.alpha_threshold,
         backend=resolve_backend(cfg),
-        transmittance_eps=cfg.transmittance_eps,
+        transmittance_eps=cfg.transmittance_eps, prefix=cfg.prefix,
     )
     if means2d_offset is None:
         means2d_offset = jnp.zeros((gauss_params["means"].shape[0], 2))

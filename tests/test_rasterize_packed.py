@@ -184,3 +184,20 @@ def test_packed_dense_occupancy(rng):
     img_x, al_x, _ = run(cloud, cam, cfg_x)
     img_p, al_p, _ = run(cloud, cam, cfg_p)
     np.testing.assert_allclose(img_p, img_x, atol=5e-4, rtol=1e-3)
+
+
+def test_prefix_cumsum_matches_matmul(rng):
+    """RasterizeConfig.prefix="cumsum" (VPU scan transmittance prefix)
+    must be numerically interchangeable with the triangular-matmul mode —
+    same math, different summation order (a bench-sweep knob)."""
+    cloud = synthetic.random_cloud(rng, 90)
+    cam = synthetic.orbit_camera(0.1, width=32, img_height=24)
+    target = jnp.asarray(rng.uniform(size=(24, 32, 3)), jnp.float32)
+    _, cfg_m = cfgs()
+    cfg_c = dataclasses.replace(cfg_m, prefix="cumsum")
+    img_m, al_m, g_m = run(cloud, cam, cfg_m, target=target)
+    img_c, al_c, g_c = run(cloud, cam, cfg_c, target=target)
+    np.testing.assert_allclose(img_c, img_m, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(al_c, al_m, atol=1e-5)
+    for a, b in zip(g_c, g_m):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
