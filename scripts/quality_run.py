@@ -484,8 +484,16 @@ def main():
         err = np.abs((got - got.mean()) - (gt - gt.mean()))
         # per-frame rot error (times are 5 samples per exposure window in
         # frame order — exposure_window_times): names WHICH windows carry
-        # the rot_max outlier (VERDICT r4 next-step 3 per-window diagnosis)
-        per_frame = np.asarray(rot).reshape(n, -1).mean(axis=1)
+        # the rot_max outlier (VERDICT r4 next-step 3 per-window diagnosis).
+        # The error arrays can be SHORTER than n*5 (a window endpoint past
+        # the spline support is dropped by interpolate), so group by index
+        # rather than reshape.
+        rot_np = np.asarray(rot)
+        frame_of = np.repeat(np.arange(n), len(_traj_times) // n)[: len(rot_np)]
+        per_frame = np.asarray([
+            rot_np[frame_of == f].mean() if np.any(frame_of == f) else 0.0
+            for f in range(n)
+        ])
         return {
             "rot_deg_mean": float(rot.mean()), "rot_deg_max": float(rot.max()),
             "trans_mean": float(trans.mean()), "trans_max": float(trans.max()),
