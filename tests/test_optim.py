@@ -115,3 +115,24 @@ def test_pose_lr_rewarm_restarts_decay_at_promotion():
     for d in (1, 13, 40):
         np.testing.assert_allclose(
             float(sched(50 + d)), float(base(10 + d)), rtol=1e-6)
+
+
+def test_exposure_b1_zero_freezes_unsampled_frames():
+    """OptimConfig.exposure_b1=0: per-frame exposure grads are sparse
+    (one frame per step), so stale Adam momentum walks every unsampled
+    frame's exposure; b1=0 must produce exactly-zero updates on zero
+    grads (r05 heavy-probe finding, mirrors pose_b1)."""
+    opt = optim.make_optimizer(OptimConfig(exposure_b1=0.0, max_steps=20))
+    params = tiny_params()
+    st = opt.init(params)
+    g1 = ones_like_grads(params)
+    _, st = opt.update(g1, st, params)
+    g2 = jax.tree.map(jnp.zeros_like, g1)
+    u, st = opt.update(g2, st, params)
+    np.testing.assert_array_equal(np.asarray(u["log_exposures"]), 0.0)
+    # contrast: default b1 keeps pushing on stale momentum
+    opt_m = optim.make_optimizer(OptimConfig(max_steps=20))
+    st_m = opt_m.init(params)
+    _, st_m = opt_m.update(g1, st_m, params)
+    u_m, _ = opt_m.update(g2, st_m, params)
+    assert float(np.abs(np.asarray(u_m["log_exposures"])).max()) > 0
