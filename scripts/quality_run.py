@@ -728,7 +728,11 @@ def main():
     elif t.step != saved_at:
         save_ckpt()
     print("wrote", args.out, flush=True)
-    if renders_at != t.step:  # skip re-rendering identical final output
+    # Renders are EXPENSIVE at spec (eager 800² renders + sweep ≈ 15 min
+    # of chip): dump on completion only — the 2000-step eval marks keep
+    # mid-run visual evidence, and with time-based sessions an every-exit
+    # dump was costing a session-length of chip time per relaunch (r05).
+    if t.step >= cfg.optim.max_steps and renders_at != t.step:
         dump_renders()
 
     if t.step >= cfg.optim.max_steps:
