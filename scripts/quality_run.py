@@ -202,6 +202,12 @@ def main():
     # stale-momentum random walk (OptimConfig.exposure_b1; measured on
     # the r05 320² heavy probe: exp_err rose 0.21→0.28 under b1=0.9).
     ap.add_argument("--exposure-b1", type=float, default=0.0)
+    # Diagnostic ceiling probe: start log_exposures AT the GT values —
+    # isolates how much of the heavy-regime plateau the exposure error
+    # causes (r05 probes: exp_err rises under joint descent even with
+    # momentum-free Adam, i.e. the gradient itself is biased at wrong
+    # poses).  Exposures stay LEARNABLE; only the init changes.
+    ap.add_argument("--gt-exposure-init", action="store_true")
     ap.add_argument("--exposure-init-frac", type=float, default=0.75)
     ap.add_argument("--crf-lr", type=float, default=1e-3)
     # coarse-to-fine (losses.gaussian_blur): round-3 finding — loss-blur
@@ -309,6 +315,7 @@ def main():
         "pose_anchor_w": args.pose_anchor_w,
         "densify_start": args.densify_start,
         "pose_b1": args.pose_b1,
+        "gt_exposure_init": bool(args.gt_exposure_init),
     }
     print("generating GT fixture...", flush=True)
     # Fixture tuned with AT-SPEC 800^2 probes (scripts/probe_fixture.py —
@@ -420,6 +427,10 @@ def main():
         tt.params["knot_deltas"] = 0.002 * jax.random.normal(
             jax.random.PRNGKey(3), tt.params["knot_deltas"].shape
         )
+        if args.gt_exposure_init:
+            tt.params["log_exposures"] = jnp.log(
+                jnp.asarray(video.exposures, jnp.float32)
+            )
         return tt
 
     # Multi-resolution curriculum: which rung does this launch start on?
