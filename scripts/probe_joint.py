@@ -72,9 +72,9 @@ def main():
     ap.add_argument("--pose-b1", type=float, default=0.9)
     ap.add_argument("--densify", action="store_true")
     ap.add_argument("--densify-start", type=int, default=0,
-                    help="0 = legacy max(300, c2f/2); staged runs should "
-                         "start ADC after the pose-recovery stage so the "
-                         "co-warp is not baked into cloned splats")
+                    help="0 = legacy max(300, c2f/2); start ADC only "
+                         "after pose recovery has settled so a co-warp "
+                         "is not baked into cloned splats")
     # training raster budget (round-4 ceiling-probe finding: mtpg 32
     # truncates the visible footprint of near-camera ground splats that
     # the GT renderer (mtpg 64) kept — black border bands, corrupted
