@@ -208,6 +208,11 @@ def main():
     # momentum-free Adam, i.e. the gradient itself is biased at wrong
     # poses).  Exposures stay LEARNABLE; only the init changes.
     ap.add_argument("--gt-exposure-init", action="store_true")
+    # Per-window pose restart at launch: refine the K worst train frames'
+    # trajectory windows against their blurry inputs before continuing
+    # joint training (train/pose_align.make_window_realigner; 0 = off).
+    ap.add_argument("--realign-windows", type=int, default=0)
+    ap.add_argument("--realign-steps", type=int, default=48)
     ap.add_argument("--exposure-init-frac", type=float, default=0.75)
     ap.add_argument("--crf-lr", type=float, default=1e-3)
     # coarse-to-fine (losses.gaussian_blur): round-3 finding — loss-blur
@@ -559,6 +564,48 @@ def main():
                   f"({len(curve)} eval points restored)", flush=True)
         elif os.path.exists(args.out + ".progress"):
             os.remove(args.out + ".progress")  # stale: no ckpt to match it
+
+    if args.realign_windows > 0:
+        # Per-window pose restart at launch (docs/JOINT_RECOVERY.md r05:
+        # a few windows plateau degrees off while the rest converge):
+        # pick the K worst TRAIN frames by blurred-recon L1 (no GT used)
+        # and block-coordinate-refine each one's window against its
+        # blurry input, scene frozen; training then continues jointly.
+        from casualhdrsplat_tpu.train.pose_align import make_window_realigner
+
+        deg = t.active_sh_degree()
+
+        @jax.jit
+        def _frame_l1(params, fid):
+            out = imf.render_frame(params, t.scene, fid, cfg.model,
+                                   sh_degree=deg)
+            return jnp.mean(jnp.abs(out.blurred_ldr - t.images[fid]))
+
+        tr_idx = list(t.dataset.train_indices)
+        scored = sorted(
+            ((float(_frame_l1(t.params, jnp.asarray(int(f)))), int(f))
+             for f in tr_idx), reverse=True,
+        )
+        worst = scored[: args.realign_windows]
+        print(json.dumps({"realign_candidates":
+                          [(f, round(l, 5)) for l, f in worst]}), flush=True)
+        realign = make_window_realigner(
+            cfg.model, steps=args.realign_steps, lr=2e-3, sh_degree=deg
+        )
+        for _, f in worst:
+            kd, d, curve_r = realign(
+                t.params, t.scene, jnp.asarray(f), t.images[int(f)]
+            )
+            t.params["knot_deltas"] = kd
+            dn = np.asarray(d)
+            print(json.dumps({
+                "realigned_frame": int(f),
+                "rot_deg": round(float(np.degrees(np.linalg.norm(dn[:3]))), 4),
+                "trans": round(float(np.linalg.norm(dn[3:])), 5),
+                "l1_before": round(float(curve_r[0]), 5),
+                "l1_after": round(float(curve_r[-1]), 5),
+            }), flush=True)
+        print(json.dumps({"post_realign": recovery_now()}), flush=True)
     renders_at = -1
     saved_at = t.step
     saved_t = time.time()

@@ -66,3 +66,47 @@ def test_align_removes_known_pose_offset():
         jnp.linalg.norm(xi[:3])
     ), (np.asarray(delta), np.asarray(resid))
     assert float(curve[-1]) < float(curve[0])
+
+
+def test_window_realigner_recovers_injected_window_offset():
+    """make_window_realigner: perturb the knots of ONE frame's exposure
+    window, then realign that window against the frame's BLURRY render
+    from the unperturbed params — the baked correction must undo most of
+    the injected offset (loss curve falls, final L1 far below initial)."""
+    ds = dataset_mod.make_synthetic_dataset(
+        seed=9, n_gaussians=60, n_frames=4, n_virtual=4, size=32,
+        angle_span=0.8, exposure_range=(0.3, 0.5),
+    )
+    cfg = _cfg()
+    t = Trainer(cfg, ds)
+    fid = jnp.asarray(1)
+    clean = imf.render_frame(t.params, t.scene, fid, cfg.model)
+    target = clean.blurred_ldr
+
+    # inject a rigid offset into the window's knots (left-composed, the
+    # same composition the realigner bakes)
+    from casualhdrsplat_tpu.train.pose_align import make_window_realigner
+
+    xi = jnp.asarray([0.02, -0.015, 0.02, 0.01, -0.01, 0.015], jnp.float32)
+    t_i = t.scene.timestamps[1]
+    j0 = int(np.floor((float(t_i) - t.scene.knot_t0) / t.scene.knot_dt)) - 1
+    idx = np.clip(np.arange(j0, j0 + 7), 0, t.params["knot_deltas"].shape[0] - 1)
+    kd = t.params["knot_deltas"]
+    rows = kd[jnp.asarray(idx)]
+    pert = jnp.stack([
+        lie.se3_log(lie.mat_mul(lie.se3_exp(xi), lie.se3_exp(r))) for r in rows
+    ])
+    t.params["knot_deltas"] = kd.at[jnp.asarray(idx)].set(pert)
+
+    broken = imf.render_frame(t.params, t.scene, fid, cfg.model)
+    l1_broken = float(jnp.mean(jnp.abs(broken.blurred_ldr - target)))
+
+    realign = make_window_realigner(cfg.model, steps=96, lr=5e-3)
+    kd2, d, curve = realign(t.params, t.scene, fid, target)
+    t.params["knot_deltas"] = kd2
+    fixed = imf.render_frame(t.params, t.scene, fid, cfg.model)
+    l1_fixed = float(jnp.mean(jnp.abs(fixed.blurred_ldr - target)))
+
+    assert l1_fixed < 0.35 * l1_broken, (l1_broken, l1_fixed)
+    # the recovered correction points against the injected offset
+    assert float(jnp.dot(d[:3], -xi[:3])) > 0
