@@ -378,13 +378,21 @@ class Trainer:
         elif (
             d.enabled
             and not in_window
-            and self._screen_prune_armed
+            and (
+                self._screen_prune_armed
+                or densify_mod.screen_prune_active(self.step, d)
+            )
             and self.step % d.interval == 0
         ):
-            # automatic oversized-splat response OUTSIDE the ADC window
-            # (VERDICT r3 Weak #2): prune-only rounds — no clone/split
-            # growth after densify.stop_iter, just screen-radius pruning
-            # until the clipped counter settles.
+            # Oversized-splat response OUTSIDE the ADC window (VERDICT r3
+            # Weak #2): prune-only rounds — no clone/split growth after
+            # densify.stop_iter, just screen-radius pruning.  Runs
+            # whenever the screen prune is armed — by the clipped-counter
+            # watchdog OR by the explicit screen_prune_from config (r05
+            # at-spec: pruning stopped with the window at step 2400 and
+            # the clipped counter ran away 8k->74k in 700 steps, -4 dB of
+            # train fit, while the watchdog's 2%-of-budget trigger sat
+            # 36x higher; a no-op prune round is cheap insurance).
             self.key, sub = jax.random.split(self.key)
             self.params, self.opt_state, self.adc, report = self._densify(
                 self.params, self.opt_state, self.adc, sub,
