@@ -228,8 +228,18 @@ def main():
     # pose basin at 1/k^2 the step cost.
     ap.add_argument("--coarse-steps", type=int, default=0)
     ap.add_argument("--coarse-downscale", type=int, default=2)
-    # full-resolution-rung footprint budget (see make_trainer below)
-    ap.add_argument("--mtpg-full", type=int, default=128)
+    # full-resolution-rung footprint budget (see make_trainer below).
+    # r05 finding: 128 cells (~180 px bbox) is UNDERSIZED for the
+    # converged structured scene at 800² — legitimately-large wall/floor
+    # splats clip, the corrupted gradient fattens them further
+    # (JOINT_RECOVERY §1), and after densify stops the clipped counter
+    # runs away (8k→112k between prune rounds, train loss 0.010→0.043).
+    ap.add_argument("--mtpg-full", type=int, default=256)
+    # screen prune radius (fraction of width): with an adequate mtpg the
+    # prune should only catch truly pathological splats, not the legit
+    # large ones the budget admits (0.10 at mtpg 128 thrashed: prune and
+    # re-fatten every 100 steps).
+    ap.add_argument("--prune-screen-radius", type=float, default=0.20)
     ap.add_argument("--pose-anchor-w", type=float, default=0.0)
     # r04 pose-divergence findings (probe series, outputs/probe_logs/):
     # momentum-free pose Adam — sparse per-frame knot grads + stale b1
@@ -404,7 +414,7 @@ def main():
     # binning budget (they are the mtpg-clip tail the `clipped` counter
     # tracks).
     cfg.densify.screen_prune_from = 600
-    cfg.densify.prune_screen_radius = 0.10
+    cfg.densify.prune_screen_radius = args.prune_screen_radius
     cfg.optim.max_steps = args.steps
     cfg.data.eval_every = args.holdout_every
     cfg.log_every = 100
