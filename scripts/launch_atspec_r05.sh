@@ -7,7 +7,7 @@
 # default).  Time-based evals + exit-path reports (round-5 hardening)
 # make every session leave a scored QUALITY_r05.json.
 cd /root/repo || exit 1
-export QSTEPS=4000
+export QSTEPS="${QSTEPS:-4000}"
 export QMAXMIN="${QMAXMIN:-30}"
 export QLOG=outputs/quality_run_r05.log
 # NOTE: flags must match the r04 fixture knobs persisted beside the
