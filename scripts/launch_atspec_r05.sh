@@ -15,5 +15,5 @@ export QLOG=outputs/quality_run_r05.log
 export QARGS="--coarse-steps 1200 --coarse-downscale 2 --pose-warmup 100 \
  --pose-trans-lr-scale 1.0 --pose-b1 0.0 --densify-start 1600 \
  --pose-rewarm --eval-every-s 420 --out QUALITY_r05.json \
- --run-label r05-main"
+ --run-label r05-main ${QEXTRA:-}"
 exec bash scripts/quality_supervisor.sh
