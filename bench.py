@@ -24,7 +24,7 @@ import numpy as np
 
 
 def build(n_gaussians=100_000, size=800, n_virtual=4, chunk=128,
-          stream_factor=6, tile=(16, 16), prefix="matmul"):
+          stream_factor=6, tile=(16, 16), prefix="cumsum"):
     import jax
     import jax.numpy as jnp
 
@@ -226,7 +226,9 @@ def main():
             stream_factor=_arg("--stream-factor", 6, int),
             tile=_arg("--tile", (16, 16),
                       lambda s: tuple(int(x) for x in s.split("x"))),
-            prefix=_arg("--prefix", "matmul", str),
+            # r05 sweep: the log-depth VPU scan beats the fp32 triangular
+            # MXU matmul 18.4 vs 17.1 Mpix/s (outputs/perf_r05_sweep.log)
+            prefix=_arg("--prefix", "cumsum", str),
         )
 
     l, grads = step(*args)  # compile

@@ -51,17 +51,35 @@ def _tri_strict(g: int):
     return (row > col).astype(jnp.float32)
 
 
+def _scan_incl(x):
+    """Inclusive prefix sum over axis 0 as a log-depth Hillis-Steele
+    ladder of circular rolls + masks (jnp.cumsum has no Mosaic lowering;
+    the wrapped rows of each roll are masked off, so the result is exact
+    up to summation order)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = x.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    acc, k = x, 1
+    while k < g:
+        sh = pltpu.roll(acc, shift=k, axis=0)
+        acc = acc + jnp.where(rows >= k, sh, 0.0)
+        k *= 2
+    return acc
+
+
 def _prefix_excl(x, statics):
     """Exclusive prefix sum over the chunk axis: triangular MXU matmul or
-    VPU cumsum per statics.prefix (identical up to summation order)."""
+    log-depth VPU scan per statics.prefix (identical up to summation
+    order)."""
     if statics.prefix == "cumsum":
-        return jnp.cumsum(x, axis=0) - x
+        return _scan_incl(x) - x
     return _mm(_tri_strict(statics.chunk), x)
 
 
 def _prefix_incl(x, statics):
     if statics.prefix == "cumsum":
-        return jnp.cumsum(x, axis=0)
+        return _scan_incl(x)
     g = statics.chunk
     return _mm(_tri_strict(g) + jnp.eye(g, dtype=jnp.float32), x)
 
