@@ -51,16 +51,24 @@ def latest_step_dir(root: str) -> Optional[str]:
     return steps[-1][1] if steps else None
 
 
-def prune_step_dirs(root: str, keep: int = 3) -> int:
+def prune_step_dirs(root: str, keep: int = 3,
+                    protect: "int | None" = None) -> int:
     """Delete all but the newest `keep` finalized step_<N> dirs plus any
     orbax temp leftovers (ADVICE r3, low: 5-minute mid-interval
     checkpoints otherwise grow the ckpt root without bound).  Returns the
-    number of directories removed."""
+    number of directories removed.
+
+    `protect` keeps one additional step dir regardless of age — the
+    best-eval checkpoint (r05: the newest-3 policy destroyed the run's
+    quality-peak checkpoint while the tail diverged, leaving nothing to
+    revert to)."""
     import shutil
 
     if not os.path.isdir(root) or keep < 1:
         return 0
-    doomed = [p for _, p in _finalized_step_dirs(root)[:-keep]]
+    doomed = [
+        p for n, p in _finalized_step_dirs(root)[:-keep] if n != protect
+    ]
     doomed += [
         os.path.join(root, d)
         for d in os.listdir(root)

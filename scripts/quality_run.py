@@ -622,6 +622,12 @@ def main():
     t_train = time.time()
     stop_file = os.path.join("outputs", "quality.stop")
 
+    best_path = os.path.join(ckpt_root, "BEST.json")
+    best = {"step": -1, "eval_sharp_psnr": -1.0}
+    if os.path.exists(best_path):
+        with open(best_path) as f:
+            best = json.load(f)
+
     def save_ckpt():
         nonlocal saved_at, saved_t
         t.save(ckpt_root)
@@ -630,10 +636,12 @@ def main():
             json.dump(fixture_knobs, f, indent=1)
         # 5-minute mid-interval checkpoints otherwise grow the ckpt root
         # without bound (ADVICE r3, low); keep a small resume window and
-        # sweep orbax tmp leftovers from abrupt session ends.
+        # sweep orbax tmp leftovers from abrupt session ends — but NEVER
+        # the best-eval checkpoint (r05: the newest-3 policy destroyed
+        # the quality peak while the tail diverged).
         from casualhdrsplat_tpu.train import checkpoint as ckpt_mod
 
-        ckpt_mod.prune_step_dirs(ckpt_root, keep=3)
+        ckpt_mod.prune_step_dirs(ckpt_root, keep=3, protect=best["step"])
         saved_at = t.step
         saved_t = time.time()
 
@@ -754,6 +762,12 @@ def main():
         with open(args.out + ".progress", "a") as f:
             f.write(json.dumps(entry) + "\n")
         write_report()
+        if m.get("eval_sharp_psnr", -1.0) > best["eval_sharp_psnr"]:
+            best.update(step=int(t.step),
+                        eval_sharp_psnr=float(m["eval_sharp_psnr"]))
+            os.makedirs(ckpt_root, exist_ok=True)
+            with open(best_path, "w") as f:
+                json.dump(best, f)
         save_ckpt()  # resume point for the next TPU session
         last_eval_t = time.time()
         if t.step % 2000 == 0:
