@@ -88,3 +88,22 @@ def test_ply_header_3dgs_convention(tmp_path, rng):
     for prop in ("f_dc_0", "f_rest_44", "opacity", "scale_2", "rot_3"):
         assert f"property float {prop}" in header
     assert "element vertex 5" in header
+
+
+def test_prune_step_dirs_protects_best(tmp_path):
+    """prune_step_dirs(protect=N) keeps the best-eval checkpoint alive
+    regardless of age (r05: the newest-3 sweep destroyed the quality
+    peak while the run's tail diverged)."""
+    import os
+
+    from casualhdrsplat_tpu.train import checkpoint as ckpt_mod
+
+    root = tmp_path / "ckpt"
+    for n in (100, 200, 300, 400, 500):
+        os.makedirs(root / f"step_{n}")
+    (root / "step_250.orbax-checkpoint-tmp-9").mkdir()
+
+    removed = ckpt_mod.prune_step_dirs(str(root), keep=2, protect=100)
+    left = sorted(os.listdir(root))
+    assert left == ["step_100", "step_400", "step_500"], left
+    assert removed == 3  # steps 200, 300 + the orbax tmp dir
