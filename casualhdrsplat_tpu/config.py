@@ -48,11 +48,13 @@ class RasterizeConfig:
     shared_binning: bool = True
     backend: str = "auto"  # "pallas" | "oracle" | "auto"
     # In-chunk transmittance prefix implementation inside the Pallas
-    # kernels: "matmul" = triangular (G,G)@(G,P) MXU matmuls (fp32 on the
-    # MXU costs multiple passes); "cumsum" = log-depth VPU scan
-    # (jnp.cumsum).  Mathematically identical up to summation order (the
-    # XLA/oracle path always uses cumsum); a bench-sweep knob.
-    prefix: str = "matmul"
+    # kernels: "cumsum" = log-depth VPU scan (pltpu.roll ladder —
+    # jnp.cumsum has no Mosaic lowering); "matmul" = triangular
+    # (G,G)@(G,P) fp32 MXU matmuls.  Identical up to summation order
+    # (interpret-pinned allclose; on-chip cross-check ≤3e-7 relative on
+    # fwd AND grads, r05) and the scan is faster: bench 18.4 vs 17.1
+    # Mpix/s.  The XLA/oracle path always uses cumsum.
+    prefix: str = "cumsum"
 
 
 @dataclass
